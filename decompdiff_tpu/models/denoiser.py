@@ -1,0 +1,170 @@
+"""The denoiser network: embeddings + refine net + inference heads.
+
+Behavioral parity with DecompScorePosNet3D.forward
+(ref models/decompdiff.py:213-351):
+  * ligand input = one_hot(v) ++ decomp aux feature (+ optional time feature)
+  * protein/ligand Linear embeddings to hidden_dim - 1, then a 0/1 node
+    indicator channel (ref :245-256); with prior nodes, hidden_dim - 3 and a
+    3-way indicator (ref :247-250)
+  * refine net over the composed context
+  * v_inference MLP (Linear -> ShiftedSoftplus -> Linear; ref :194-198)
+  * bond head: 'lin' reads the bond hidden state; 'pre_att' builds
+    RBF(dist) ++ (h_i + h_j)/2 pair features (ref :323-341)
+
+Context composition is a static concatenation [protein | ligand] (+ [prior])
+along the node axis — the reference's stable-sort-by-batch
+(ref models/common.py:167-227) is unnecessary in padded layout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from decompdiff_tpu.data.batch import ComplexBatch
+from decompdiff_tpu.models.common import linspace_rbf, shifted_softplus
+from decompdiff_tpu.models.uni_transformer_bond import UniTransformerBond
+
+
+class SinusoidalTimeEmb(nn.Module):
+    """ref models/decompdiff.py:59-71."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, t):
+        half = self.dim // 2
+        emb = np.log(10000) / (half - 1)
+        freqs = jnp.exp(jnp.arange(half) * -emb)
+        args = t[:, None].astype(jnp.float32) * freqs[None, :]
+        return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class DecompDenoiser(nn.Module):
+    """One forward pass of the joint (pos, atom-type, bond-type) denoiser."""
+    config: dict
+    num_classes: int
+    num_bond_classes: int
+
+    @nn.compact
+    def __call__(self, batch: ComplexBatch, ligand_pos, ligand_v, bond_type,
+                 time_step: Optional[jnp.ndarray] = None):
+        """
+        Args:
+            batch:      static features (protein, masks, priors, aux)
+            ligand_pos: [B, Nl, 3] current (noised) ligand coordinates
+            ligand_v:   [B, Nl] current atom-type indices
+            bond_type:  [B, Nl, Nl] current bond-type indices
+            time_step:  [B] integer t (only used when time_emb_dim > 0)
+
+        Returns dict with 'pred_ligand_pos' [B, Nl, 3], 'pred_ligand_v'
+        [B, Nl, K], and 'pred_bond' [B, Nl, Nl, Kb] when bond_diffusion.
+        """
+        cfg = self.config
+        hidden_dim = cfg['hidden_dim']
+        node_indicator = cfg.get('node_indicator', True)
+        add_prior_node = cfg.get('add_prior_node', False)
+        if add_prior_node:
+            raise NotImplementedError(
+                'add_prior_node composition is not wired yet (released '
+                'config disables it; ref configs/training.yml:37)')
+        emb_dim = hidden_dim - 1 if node_indicator else hidden_dim
+
+        Np = batch.num_protein_atoms
+        Nl = batch.num_ligand_atoms
+
+        # --- ligand input features (ref :219-236) ---
+        v_onehot = jax.nn.one_hot(ligand_v, self.num_classes)
+        lig_feat = jnp.concatenate(
+            [v_onehot, batch.ligand_aux.astype(v_onehot.dtype)], axis=-1)
+        time_emb_dim = cfg.get('time_emb_dim', 0)
+        if time_emb_dim > 0:
+            mode = cfg.get('time_emb_mode', 'simple')
+            if mode == 'simple':
+                tfeat = (time_step.astype(jnp.float32)
+                         / cfg['num_diffusion_timesteps'])
+                tfeat = jnp.broadcast_to(tfeat[:, None, None], (lig_feat.shape[0], Nl, 1))
+            elif mode == 'sin':
+                te = SinusoidalTimeEmb(time_emb_dim)(time_step)
+                te = nn.Dense(time_emb_dim * 4)(te)
+                te = nn.gelu(te)
+                te = nn.Dense(time_emb_dim)(te)
+                tfeat = jnp.broadcast_to(te[:, None, :],
+                                         (lig_feat.shape[0], Nl, time_emb_dim))
+            else:
+                raise NotImplementedError(mode)
+            lig_feat = jnp.concatenate([lig_feat, tfeat], axis=-1)
+
+        h_protein = nn.Dense(emb_dim, name='protein_atom_emb')(
+            batch.protein_feat)
+        h_ligand = nn.Dense(emb_dim, name='ligand_atom_emb')(lig_feat)
+
+        if node_indicator:
+            zeros = jnp.zeros(h_protein.shape[:-1] + (1,), h_protein.dtype)
+            ones = jnp.ones(h_ligand.shape[:-1] + (1,), h_ligand.dtype)
+            h_protein = jnp.concatenate([h_protein, zeros], axis=-1)
+            h_ligand = jnp.concatenate([h_ligand, ones], axis=-1)
+
+        # --- compose context (static concat; ref models/common.py:167-194) ---
+        h_all = jnp.concatenate([h_protein, h_ligand], axis=1)
+        pos_all = jnp.concatenate([batch.protein_pos, ligand_pos], axis=1)
+        mask_all = jnp.concatenate([batch.protein_mask, batch.ligand_mask], axis=1)
+        false_p = jnp.zeros_like(batch.protein_mask)
+        mask_ligand = jnp.concatenate([false_p, batch.ligand_mask], axis=1)
+        movable = jnp.concatenate([false_p, batch.update_mask()], axis=1)
+
+        # --- bond stream inputs ---
+        bond_onehot = jax.nn.one_hot(bond_type, self.num_bond_classes)
+        h_bond = nn.Dense(hidden_dim, name='ligand_bond_emb')(bond_onehot)
+
+        refine = UniTransformerBond(
+            num_blocks=cfg['num_blocks'],
+            num_layers=cfg['num_layers'],
+            hidden_dim=hidden_dim,
+            n_heads=cfg['n_heads'],
+            k=cfg['knn'],
+            edge_feat_dim=cfg.get('edge_feat_dim', 4),
+            num_r_gaussian=cfg.get('num_r_gaussian', 20),
+            use_global_ew=cfg.get('use_global_ew', True),
+            x2h_out_fc=cfg.get('x2h_out_fc', True),
+            include_h_node=cfg.get('h_node_in_bond_net', False),
+            remat=cfg.get('remat', False),
+            name='refine_net')
+        outputs = refine(h_all, pos_all, h_bond, mask_all, mask_ligand,
+                         movable, batch.bond_mask, num_protein=Np)
+
+        final_h_lig = outputs['h'][:, Np:Np + Nl]
+        final_pos_lig = outputs['x'][:, Np:Np + Nl]
+
+        # v head (ref :194-198,317)
+        y = nn.Dense(hidden_dim, name='v_inf_0')(final_h_lig)
+        y = shifted_softplus(y)
+        pred_v = nn.Dense(self.num_classes, name='v_inf_1')(y)
+
+        preds = {'pred_ligand_pos': final_pos_lig, 'pred_ligand_v': pred_v}
+
+        if cfg.get('bond_diffusion', False):
+            bond_net_type = cfg.get('bond_net_type', 'lin')
+            if bond_net_type == 'lin':
+                bond_in = outputs['h_bond']
+            elif bond_net_type == 'pre_att':
+                # pair features over the dense bond graph (ref :325-333)
+                diff = final_pos_lig[:, :, None, :] - final_pos_lig[:, None, :, :]
+                dist = jnp.sqrt(jnp.maximum((diff * diff).sum(-1), 1e-12))
+                r_feat = linspace_rbf(dist, 0.0, 5.0, cfg.get('num_r_gaussian', 20))
+                hi = final_h_lig[:, :, None, :]
+                hj = final_h_lig[:, None, :, :]
+                pair_h = jnp.broadcast_to(
+                    (hi + hj) / 2, r_feat.shape[:-1] + (final_h_lig.shape[-1],))
+                bond_in = jnp.concatenate([r_feat, pair_h], axis=-1)
+            else:
+                raise ValueError(bond_net_type)
+            y = nn.Dense(hidden_dim, name='bond_inf_0')(bond_in)
+            y = shifted_softplus(y)
+            preds['pred_bond'] = nn.Dense(
+                self.num_bond_classes, name='bond_inf_1')(y)
+
+        return preds

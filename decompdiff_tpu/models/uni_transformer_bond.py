@@ -1,0 +1,393 @@
+"""SE(3)-equivariant graph transformer with a ligand bond stream — the TPU
+redesign of the released `uni_o2_bond` refine net
+(ref models/encoders/uni_transformer_edge.py:290-443).
+
+Layout: the "context" is the concatenation [protein | ligand] along a single
+padded node axis N = Np + Nl, with the ligand occupying the static slice
+[Np : Np+Nl]. Three interaction streams per layer:
+
+  1. kNN edge stream over all context nodes — regular [B, N, K] neighbor
+     attention (ref NodeUpdateLayer / PosUpdateLayer over knn edges).
+  2. dense bond stream over ligand atoms — [B, Nl, Nl] edge attention
+     (ref NodeUpdateLayer over bond edges, PosUpdateLayer over bond edges).
+  3. bond-triplet angular stream — [B, Nl(i), Nl(j), Nl(k)] attention where
+     edge (k->j) messages update edge (j->i), with softmax over k
+     (ref BondUpdateLayer.triplets, uni_transformer_edge.py:103-167). The
+     O(Nl^3) first projection is factorized: (k,j)-terms, (i,j)-terms and
+     j-terms are computed on O(Nl^2) tensors; only the 13-dim angular code pays
+     the cubic matmul.
+
+Coordinates update only through attention-weighted sums of relative vectors and
+only for movable ligand atoms (ref uni_transformer_edge.py:285), so the net is
+E(3)-equivariant in ligand positions and invariant in features.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from decompdiff_tpu.models.common import (
+    ANGULAR_DIM, MLP, angular_encoding, fixed_rbf, masked_softmax, outer_product,
+    safe_norm)
+from decompdiff_tpu.ops.knn import knn_neighbors, pairwise_sqdist
+
+
+def _heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    return x.reshape(x.shape[:-1] + (n_heads, x.shape[-1] // n_heads))
+
+
+def gather_nodes(h: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
+    """h [B, N, F], nbr_idx [B, N, K] -> [B, N, K, F]."""
+    B, _, F = h.shape
+    idx = nbr_idx.reshape(B, -1)                           # [B, N*K]
+    out = jnp.take_along_axis(h, idx[..., None], axis=1)   # [B, N*K, F]
+    return out.reshape(B, nbr_idx.shape[1], nbr_idx.shape[2], F)
+
+
+class NodeEdgeAttention(nn.Module):
+    """Scalar-feature attention over [B, N, K] kNN edges
+    (ref NodeUpdateLayer, uni_transformer_edge.py:16-74)."""
+    hidden_dim: int
+    n_heads: int
+    out_fc: bool = True
+
+    @nn.compact
+    def __call__(self, h, edge_feat, nbr_idx, nbr_mask, e_w=None):
+        hj = gather_nodes(h, nbr_idx)                            # src features
+        hi = jnp.broadcast_to(h[:, :, None, :], hj.shape)        # dst features
+        kv_input = jnp.concatenate([edge_feat, hi, hj], axis=-1)
+
+        k = _heads(MLP(self.hidden_dim, self.hidden_dim, name='hk')(kv_input),
+                   self.n_heads)
+        v = MLP(self.hidden_dim, self.hidden_dim, name='hv')(kv_input)
+        if e_w is not None:
+            v = v * e_w
+        v = _heads(v, self.n_heads)
+        q = _heads(MLP(self.hidden_dim, self.hidden_dim, name='hq')(h),
+                   self.n_heads)
+
+        scale = 1.0 / np.sqrt(k.shape[-1])
+        logits = (q[:, :, None, :, :] * k).sum(-1) * scale       # [B, N, K, heads]
+        alpha = masked_softmax(logits, nbr_mask[..., None], axis=2)
+        out = (alpha[..., None] * v).sum(axis=2)                 # [B, N, heads, hd]
+        out = out.reshape(h.shape[:-1] + (self.hidden_dim,))
+        if self.out_fc:
+            out = MLP(self.hidden_dim, self.hidden_dim, name='node_output')(
+                jnp.concatenate([out, h], axis=-1))
+        return out
+
+
+class NodeBondAttention(nn.Module):
+    """Scalar-feature attention over the dense [B, Nl, Nl] bond graph; the
+    bond hidden state is the edge feature (ref NodeUpdateLayer with
+    edge_feat_dim=hidden, uni_transformer_edge.py:239-243,273)."""
+    hidden_dim: int
+    n_heads: int
+    out_fc: bool = True
+
+    @nn.compact
+    def __call__(self, h_lig, h_bond, bond_mask):
+        # h_bond [B, Nl(i), Nl(j), H]; dst = i, src = j
+        Nl = h_lig.shape[1]
+        hi = jnp.broadcast_to(h_lig[:, :, None, :], h_bond.shape)
+        hj = jnp.broadcast_to(h_lig[:, None, :, :], h_bond.shape)
+        kv_input = jnp.concatenate([h_bond, hi, hj], axis=-1)
+
+        k = _heads(MLP(self.hidden_dim, self.hidden_dim, name='hk')(kv_input),
+                   self.n_heads)
+        v = _heads(MLP(self.hidden_dim, self.hidden_dim, name='hv')(kv_input),
+                   self.n_heads)
+        q = _heads(MLP(self.hidden_dim, self.hidden_dim, name='hq')(h_lig),
+                   self.n_heads)
+
+        scale = 1.0 / np.sqrt(k.shape[-1])
+        logits = (q[:, :, None, :, :] * k).sum(-1) * scale       # [B, Nl, Nl, heads]
+        alpha = masked_softmax(logits, bond_mask[..., None], axis=2)
+        out = (alpha[..., None] * v).sum(axis=2)
+        out = out.reshape(h_lig.shape[:-1] + (self.hidden_dim,))
+        if self.out_fc:
+            out = MLP(self.hidden_dim, self.hidden_dim, name='node_output')(
+                jnp.concatenate([out, h_lig], axis=-1))
+        return out
+
+
+class BondTripletAttention(nn.Module):
+    """Directional triplet (k->j->i) message passing updating bond features
+    (ref BondUpdateLayer, uni_transformer_edge.py:77-167).
+
+    For each bond edge (j->i) the query comes from h_bond[i,j] (+ h[i]); keys
+    and values come from every in-edge (k->j) of j (k != i, k != j), carrying
+    the k->j bond feature, RBF(d_jk), RBF(d_ij) and an angular code of the
+    angle at i between j and k. Softmax over k.
+
+    The reference materializes the full E3 = O(Nl^3) triplet list via
+    torch_sparse CSR; here the triplet axis is dense [B, i, j, k] and the first
+    projection of the 437-dim kv input is factorized so only the 13-dim angular
+    code is projected at cubic cost.
+    """
+    hidden_dim: int
+    n_heads: int
+    include_h_node: bool = True
+
+    @nn.compact
+    def __call__(self, h_lig, h_bond, x_lig, bond_mask):
+        B, Nl, H = h_lig.shape
+        dtype = h_lig.dtype
+
+        # pairwise distances and RBF (entry [i, j] = |x_i - x_j|)
+        d = jnp.sqrt(jnp.maximum(pairwise_sqdist(x_lig, x_lig), 1e-12))
+        r_feat = fixed_rbf(d)                                    # [B, Nl, Nl, 20]
+
+        # angle at i between (j - i) and (k - i): atan2(|cross|, dot)
+        rel = x_lig[:, None, :, :] - x_lig[:, :, None, :]        # [B, i, t, 3] = x_t - x_i
+        dot = jnp.einsum('bijc,bikc->bijk', rel, rel)
+        cross = jnp.cross(rel[:, :, :, None, :], rel[:, :, None, :, :])
+        angle = jnp.arctan2(safe_norm(cross, axis=-1), dot)      # [B, i, j, k]
+        a_feat = angular_encoding(angle)                         # [B, i, j, k, 13]
+
+        # ---- factorized first projection of kv_input ----
+        # kv_input(i,j,k) = [h_bond[j,k], r_feat[j,k], r_feat[i,j], a_feat, h[k], h[j]]
+        # (ref uni_transformer_edge.py:148; include_h_node appends h_k, h_j)
+        def first_linear(name):
+            # term over (j, k): h_bond[j,k] (H) + r_feat[j,k] (20) + h[k] (H)
+            parts_kj = [h_bond, r_feat]
+            if self.include_h_node:
+                parts_kj.append(jnp.broadcast_to(
+                    h_lig[:, None, :, :], (B, Nl, Nl, H)))        # h[k] at [j, k]
+            t_kj = nn.Dense(self.hidden_dim, use_bias=False,
+                            name=f'{name}_kj')(
+                jnp.concatenate(parts_kj, axis=-1))               # [B, j, k, H]
+            # term over (i, j): r_feat[i,j] (20)
+            t_ij = nn.Dense(self.hidden_dim, use_bias=False,
+                            name=f'{name}_ij')(r_feat)            # [B, i, j, H]
+            # term over j alone: h[j]
+            t_j = (nn.Dense(self.hidden_dim, use_bias=False, name=f'{name}_j')(
+                h_lig) if self.include_h_node else 0.0)           # [B, j, H]
+            # cubic term: angular code only (13 dims), with the layer bias
+            t_a = nn.Dense(self.hidden_dim, use_bias=True,
+                           name=f'{name}_a')(a_feat)              # [B, i, j, k, H]
+            pre = (t_a
+                   + t_kj[:, None, :, :, :]                       # broadcast over i
+                   + t_ij[:, :, :, None, :])                      # broadcast over k
+            if self.include_h_node:
+                pre = pre + t_j[:, None, :, None, :]              # broadcast over i, k
+            return pre
+
+        def mlp_tail(pre, name):
+            y = nn.LayerNorm(epsilon=1e-5, name=f'{name}_ln')(pre)
+            y = nn.relu(y)
+            return nn.Dense(self.hidden_dim, name=f'{name}_out')(y)
+
+        k_t = _heads(mlp_tail(first_linear('hk'), 'hk'), self.n_heads)
+        v_t = _heads(mlp_tail(first_linear('hv'), 'hv'), self.n_heads)
+
+        q_in = (jnp.concatenate([
+            h_bond, jnp.broadcast_to(h_lig[:, :, None, :], h_bond.shape)],
+            axis=-1) if self.include_h_node else h_bond)
+        q = _heads(MLP(self.hidden_dim, self.hidden_dim, name='hq')(q_in),
+                   self.n_heads)                                  # [B, i, j, heads, hd]
+
+        scale = 1.0 / np.sqrt(k_t.shape[-1])
+        logits = (q[:, :, :, None, :, :] * k_t).sum(-1) * scale   # [B, i, j, k, heads]
+
+        # triplet valid: bond (j->i) real, bond (k->j) real, k != i
+        eye = jnp.eye(Nl, dtype=bool)
+        t_mask = (bond_mask[:, :, :, None]                        # (j->i) at [i, j]
+                  & bond_mask[:, None, :, :]                      # (k->j) at [j, k]
+                  & ~eye[None, :, None, :])                       # k != i
+        alpha = masked_softmax(logits, t_mask[..., None], axis=3)
+        out = (alpha[..., None] * v_t).sum(axis=3)                # [B, i, j, heads, hd]
+        return out.reshape(B, Nl, Nl, self.hidden_dim).astype(dtype)
+
+
+class PosEdgeAttention(nn.Module):
+    """Equivariant coordinate attention over [B, N, K] kNN edges
+    (ref PosUpdateLayer, uni_transformer_edge.py:170-210)."""
+    hidden_dim: int
+    n_heads: int
+
+    @nn.compact
+    def __call__(self, h, rel_x, edge_feat, nbr_idx, nbr_mask, e_w=None):
+        hj = gather_nodes(h, nbr_idx)
+        hi = jnp.broadcast_to(h[:, :, None, :], hj.shape)
+        kv_input = jnp.concatenate([edge_feat, hi, hj], axis=-1)
+
+        k = _heads(MLP(self.hidden_dim, self.hidden_dim, name='xk')(kv_input),
+                   self.n_heads)
+        v = MLP(self.n_heads, self.hidden_dim, name='xv')(kv_input)  # [B,N,K,heads]
+        if e_w is not None:
+            v = v * e_w
+        v = v[..., None] * rel_x[..., None, :]                    # [B,N,K,heads,3]
+        q = _heads(MLP(self.hidden_dim, self.hidden_dim, name='xq')(h),
+                   self.n_heads)
+
+        scale = 1.0 / np.sqrt(k.shape[-1])
+        logits = (q[:, :, None, :, :] * k).sum(-1) * scale
+        alpha = masked_softmax(logits, nbr_mask[..., None], axis=2)
+        out = (alpha[..., None] * v).sum(axis=2)                  # [B,N,heads,3]
+        return out.mean(axis=2)                                   # [B,N,3]
+
+
+class PosBondAttention(nn.Module):
+    """Equivariant coordinate attention over the dense bond graph
+    (ref PosUpdateLayer with bond edges, uni_transformer_edge.py:253-257,280-285)."""
+    hidden_dim: int
+    n_heads: int
+
+    @nn.compact
+    def __call__(self, h_lig, rel_x, h_bond, bond_mask):
+        hi = jnp.broadcast_to(h_lig[:, :, None, :], h_bond.shape)
+        hj = jnp.broadcast_to(h_lig[:, None, :, :], h_bond.shape)
+        kv_input = jnp.concatenate([h_bond, hi, hj], axis=-1)
+
+        k = _heads(MLP(self.hidden_dim, self.hidden_dim, name='xk')(kv_input),
+                   self.n_heads)
+        v = MLP(self.n_heads, self.hidden_dim, name='xv')(kv_input)
+        v = v[..., None] * rel_x[..., None, :]
+        q = _heads(MLP(self.hidden_dim, self.hidden_dim, name='xq')(h_lig),
+                   self.n_heads)
+
+        scale = 1.0 / np.sqrt(k.shape[-1])
+        logits = (q[:, :, None, :, :] * k).sum(-1) * scale
+        alpha = masked_softmax(logits, bond_mask[..., None], axis=2)
+        out = (alpha[..., None] * v).sum(axis=2)
+        return out.mean(axis=2)
+
+
+class AttentionLayerBond(nn.Module):
+    """One x2h + h2x block with bond streams
+    (ref AttentionLayerO2TwoUpdateNodeGeneral, uni_transformer_edge.py:213-287)."""
+    hidden_dim: int
+    n_heads: int
+    edge_feat_dim: int
+    x2h_out_fc: bool
+    include_h_node: bool
+
+    @nn.compact
+    def __call__(self, h, x, edge_type, nbr_idx, nbr_mask, h_bond, bond_mask,
+                 movable_mask, num_protein, e_w=None):
+        Np = num_protein
+        Nl = h_bond.shape[1]
+
+        # kNN edge geometry (recomputed from the layer-input x; ref :262-269)
+        xj = gather_nodes(x, nbr_idx)
+        rel_x = x[:, :, None, :] - xj                             # x_dst - x_src
+        dist = safe_norm(rel_x, axis=-1)
+        dist_feat = fixed_rbf(dist)
+        dist_feat = outer_product(edge_type, dist_feat)
+        edge_feat = jnp.concatenate([dist_feat, edge_type], axis=-1)
+
+        new_h_edge = NodeEdgeAttention(
+            self.hidden_dim, self.n_heads, out_fc=self.x2h_out_fc,
+            name='node_layer_with_edge')(h, edge_feat, nbr_idx, nbr_mask, e_w)
+
+        # ligand bond streams
+        h_lig = h[:, Np:Np + Nl]
+        x_lig = x[:, Np:Np + Nl]
+        new_h_bond_msg = NodeBondAttention(
+            self.hidden_dim, self.n_heads, out_fc=self.x2h_out_fc,
+            name='node_layer_with_bond')(h_lig, h_bond, bond_mask)
+        new_h_bond = h_bond + BondTripletAttention(
+            self.hidden_dim, self.n_heads, include_h_node=self.include_h_node,
+            name='bond_layer')(h_lig, h_bond, x_lig, bond_mask)
+
+        # scatter the bond-stream node update into the full context
+        new_h_bond_full = jnp.zeros_like(new_h_edge).at[:, Np:Np + Nl].set(
+            new_h_bond_msg)
+        new_h = h + nn.Dense(self.hidden_dim, name='lin_node')(
+            new_h_edge + new_h_bond_full)
+
+        # coordinate updates (use the updated h; ref :280-285)
+        dx_edge = PosEdgeAttention(
+            self.hidden_dim, self.n_heads, name='pos_layer_with_edge')(
+            new_h, rel_x, edge_feat, nbr_idx, nbr_mask, e_w)
+        rel_bond_x = x_lig[:, :, None, :] - x_lig[:, None, :, :]
+        dx_bond = PosBondAttention(
+            self.hidden_dim, self.n_heads, name='pos_layer_with_bond')(
+            new_h[:, Np:Np + Nl], rel_bond_x, new_h_bond, bond_mask)
+        dx = dx_edge.at[:, Np:Np + Nl].add(dx_bond)
+        x = x + dx * movable_mask[..., None].astype(x.dtype)
+        return new_h, new_h_bond, x
+
+
+class UniTransformerBond(nn.Module):
+    """The full refine net (ref UniTransformerO2TwoUpdateGeneralBond,
+    uni_transformer_edge.py:290-443)."""
+    num_blocks: int
+    num_layers: int
+    hidden_dim: int
+    n_heads: int
+    k: int
+    edge_feat_dim: int = 4
+    num_r_gaussian: int = 20
+    use_global_ew: bool = True
+    x2h_out_fc: bool = True
+    include_h_node: bool = False
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, h, x, h_bond, mask_all, mask_ligand, movable_mask,
+                 bond_mask, num_protein, group_idx=None):
+        """
+        Args:
+            h:            [B, N, H]   context node features ([protein | ligand])
+            x:            [B, N, 3]   context positions
+            h_bond:       [B, Nl, Nl, H] bond features
+            mask_all:     [B, N] bool real nodes
+            mask_ligand:  [B, N] bool ligand(+prior) nodes (edge typing)
+            movable_mask: [B, N] bool nodes whose positions update
+            bond_mask:    [B, Nl, Nl] bool
+            num_protein:  static int, protein slice size
+            group_idx:    optional [B, N] int decomp group (adds the same-group
+                          edge-type bit; ref uni_transformer_edge.py:384-391)
+        """
+        layer_cls = AttentionLayerBond
+        if self.remat:
+            layer_cls = nn.remat(AttentionLayerBond)
+
+        layers = [layer_cls(
+            self.hidden_dim, self.n_heads, self.edge_feat_dim,
+            self.x2h_out_fc, self.include_h_node, name=f'layer_{i}')
+            for i in range(self.num_layers)]
+
+        for _ in range(self.num_blocks):
+            nbr_idx, nbr_mask = knn_neighbors(x, mask_all, self.k)
+
+            # 4-way ll/lp/pl/pp edge typing, src=j -> dst=i
+            # (ref uni_transformer_edge.py:361-392)
+            lig_src = gather_nodes(
+                mask_ligand[..., None].astype(jnp.float32), nbr_idx)[..., 0] > 0.5
+            lig_dst = mask_ligand[:, :, None]
+            type_id = jnp.where(
+                lig_src & lig_dst, 0,
+                jnp.where(lig_src & ~lig_dst, 1,
+                          jnp.where(~lig_src & lig_dst, 2, 3)))
+            edge_type = jax.nn.one_hot(type_id, 4, dtype=h.dtype)
+            if group_idx is not None:
+                g_src = gather_nodes(
+                    group_idx[..., None].astype(jnp.float32), nbr_idx)[..., 0]
+                same = (g_src == group_idx[:, :, None].astype(jnp.float32))
+                edge_type = jnp.concatenate(
+                    [edge_type, jax.nn.one_hot(same.astype(jnp.int32), 2,
+                                               dtype=h.dtype)], axis=-1)
+
+            if self.use_global_ew:
+                xj = gather_nodes(x, nbr_idx)
+                dist = safe_norm(x[:, :, None, :] - xj, axis=-1)
+                logits = MLP(1, self.hidden_dim, name='edge_pred')(
+                    fixed_rbf(dist))
+                e_w = jax.nn.sigmoid(logits)                      # [B, N, K, 1]
+            else:
+                e_w = None
+
+            for layer in layers:
+                h, h_bond, x = layer(
+                    h, x, edge_type, nbr_idx, nbr_mask, h_bond, bond_mask,
+                    movable_mask, num_protein, e_w)
+
+        return {'x': x, 'h': h, 'h_bond': h_bond}

@@ -1,0 +1,48 @@
+"""Masked k-nearest-neighbor graph construction over padded point sets.
+
+TPU-native replacement for PyG `knn_graph` (ref models/encoders/
+uni_transformer_edge.py:349-359, models/common.py:250-277): instead of ragged
+edge lists rebuilt on host/CUDA every block, we compute a dense masked distance
+matrix per complex and take top-k per destination row, yielding a regular
+[B, N, K] neighbor tensor. Each real node has exactly K in-edges (fewer only if
+the complex has < K+1 real atoms), so scatter_softmax becomes a plain row
+softmax over the K axis.
+
+The dense [B, N, N] distance matrix is a single batched matmul-shaped op that
+XLA tiles onto the MXU; for N ~ 500 this is microseconds, far cheaper than any
+sparse alternative on this hardware.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[..., N, 3], [..., M, 3] -> [..., N, M] squared distances."""
+    diff = a[..., :, None, :] - b[..., None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def knn_neighbors(pos: jnp.ndarray, mask: jnp.ndarray, k: int):
+    """Top-k nearest real neighbors for every node (self excluded).
+
+    Args:
+        pos:  [B, N, 3]
+        mask: [B, N] bool — real (non-padding) nodes
+        k:    neighbors per destination
+
+    Returns:
+        nbr_idx:  [B, N, K] int32 — source-node indices j for edges j -> i
+        nbr_mask: [B, N, K] bool  — valid edges (dst real, src real, src != dst)
+    """
+    n = pos.shape[-2]
+    d2 = pairwise_sqdist(pos, pos)  # [B, N, N], entry [i, j] = |xi - xj|^2
+    big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
+    eye = jnp.eye(n, dtype=bool)
+    invalid = eye[None] | ~mask[:, None, :]  # self or padded source
+    d2 = jnp.where(invalid, big, d2)
+    neg_d2, nbr_idx = jax.lax.top_k(-d2, k)  # [B, N, K]
+    nbr_mask = (neg_d2 > -big) & mask[:, :, None]
+    return nbr_idx.astype(jnp.int32), nbr_mask
