@@ -53,7 +53,8 @@ def sample_time_symmetric(rng, num_graphs: int, num_timesteps: int):
     return t, pt
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)  # identity hash -> usable as a
+# jit static argument; create once per run.
 class DecompDiffModel:
     """Bundles the flax denoiser with the (static) diffusion processes."""
     denoiser: DecompDenoiser
