@@ -1,0 +1,164 @@
+"""Data-parallel training step.
+
+Protocol parity with ref scripts/train_diffusion_decomp.py:155-210 and
+utils/train.py:34-56:
+  * protein position jitter (pos_noise_std) and prior-center jitter
+    (prior_noise_std) per step (ref :160-164)
+  * Adam(b1=0.95, b2=0.999, wd=0), lr 5e-4 (ref configs/training.yml:75-80)
+  * global-norm gradient clipping at 8.0 (ref :195)
+  * weighted loss sum pos*1 + v*100 + bond*100 (ref utils/train.py:58-70)
+  * plateau LR scheduler on validation loss (factor 0.6, patience 10,
+    min_lr 1e-6; ref utils/train.py:46-56)
+
+The step is one jit with donated state; the batch is sharded over the mesh's
+'dp' axis and XLA derives the gradient all-reduce from the shardings (no
+hand-written collectives).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from decompdiff_tpu.data.batch import ComplexBatch
+from decompdiff_tpu.models.diffusion_model import DecompDiffModel
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: dict
+    opt_state: optax.OptState
+
+
+def make_optimizer(optimizer_cfg, max_grad_norm: float = 8.0):
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.inject_hyperparams(optax.adam)(
+            learning_rate=optimizer_cfg.get('lr', 5e-4),
+            b1=optimizer_cfg.get('beta1', 0.95),
+            b2=optimizer_cfg.get('beta2', 0.999),
+        ),
+    )
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(opt_state[1].hyperparams['learning_rate'])
+
+
+def set_learning_rate(opt_state, lr: float):
+    inner = opt_state[1]
+    hyper = dict(inner.hyperparams)
+    hyper['learning_rate'] = jnp.asarray(lr, jnp.float32)
+    return (opt_state[0], inner._replace(hyperparams=hyper))
+
+
+def create_train_state(model: DecompDiffModel, rng, example_batch: ComplexBatch,
+                       train_cfg) -> tuple[TrainState, optax.GradientTransformation]:
+    params = model.init_params(rng, example_batch)
+    tx = make_optimizer(train_cfg.get('optimizer', {}),
+                        train_cfg.get('max_grad_norm', 8.0))
+    opt_state = tx.init(params)
+    return TrainState(step=jnp.asarray(0), params=params,
+                      opt_state=opt_state), tx
+
+
+def weighted_loss(losses: dict, weights: dict) -> jnp.ndarray:
+    """ref utils/train.py:58-70."""
+    total = 0.0
+    for k, v in losses.items():
+        total = total + float(weights.get(k, 1.0)) * v
+    return total
+
+
+def make_train_step(model: DecompDiffModel, tx, train_cfg):
+    loss_weights = dict(train_cfg.get('loss_weights',
+                                      {'pos': 1.0, 'v': 100.0, 'bond': 100.0}))
+    pos_noise_std = float(train_cfg.get('pos_noise_std', 0.1))
+    prior_noise_std = float(train_cfg.get('prior_noise_std', 0.5))
+
+    def loss_fn(params, rng, batch):
+        out = model.get_diffusion_loss(params, rng, batch)
+        loss = weighted_loss(out['losses'], loss_weights)
+        metrics = {f'loss_{k}': v for k, v in out['losses'].items()}
+        metrics['loss'] = loss
+        return loss, metrics
+
+    @jax.jit
+    def train_step(state: TrainState, batch: ComplexBatch, rng):
+        rng_prot, rng_prior, rng_loss = jax.random.split(rng, 3)
+        # input jitter (ref scripts/train_diffusion_decomp.py:160-164)
+        batch = batch.replace(
+            protein_pos=batch.protein_pos + pos_noise_std * jax.random.normal(
+                rng_prot, batch.protein_pos.shape),
+            prior_centers=batch.prior_centers
+            + prior_noise_std * jax.random.normal(
+                rng_prior, batch.prior_centers.shape),
+        )
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, rng_loss, batch)
+        metrics['grad_norm'] = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    return train_step
+
+
+def make_eval_step(model: DecompDiffModel, train_cfg):
+    """Validation loss at fixed timesteps with unit prior stds
+    (ref scripts/train_diffusion_decomp.py:212-260: prior_stds=ones)."""
+    loss_weights = dict(train_cfg.get('loss_weights',
+                                      {'pos': 1.0, 'v': 100.0, 'bond': 100.0}))
+
+    @jax.jit
+    def eval_step(params, batch: ComplexBatch, time_value, rng):
+        batch = batch.replace(prior_stds=jnp.ones_like(batch.prior_stds))
+        t = jnp.full((batch.batch_size,), time_value, jnp.int32)
+        out = model.get_diffusion_loss(params, rng, batch, time_step=t)
+        metrics = {f'loss_{k}': v for k, v in out['losses'].items()}
+        metrics['loss'] = weighted_loss(out['losses'], loss_weights)
+        return metrics, out['ligand_v_recon'], out.get('ligand_b_recon')
+
+    return eval_step
+
+
+class PlateauScheduler:
+    """Host-side reduce-on-plateau (ref utils/train.py:46-56 wiring of
+    torch.optim.lr_scheduler.ReduceLROnPlateau, factor/patience/min_lr from
+    config)."""
+
+    def __init__(self, factor=0.6, patience=10, min_lr=1e-6):
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.best: Optional[float] = None
+        self.num_bad = 0
+
+    def step(self, val_loss: float, current_lr: float) -> float:
+        if self.best is None or val_loss < self.best:
+            self.best = val_loss
+            self.num_bad = 0
+            return current_lr
+        self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.num_bad = 0
+            return max(current_lr * self.factor, self.min_lr)
+        return current_lr
+
+    def state_dict(self):
+        return {'best': self.best, 'num_bad': self.num_bad,
+                'factor': self.factor, 'patience': self.patience,
+                'min_lr': self.min_lr}
+
+    def load_state_dict(self, d):
+        self.best = d['best']
+        self.num_bad = d['num_bad']
+        self.factor = d.get('factor', self.factor)
+        self.patience = d.get('patience', self.patience)
+        self.min_lr = d.get('min_lr', self.min_lr)
