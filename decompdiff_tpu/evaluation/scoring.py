@@ -1,0 +1,179 @@
+"""Chemistry scoring: QED, SA, logP, Lipinski, ring sizes.
+
+Role parity with ref utils/evaluation/scoring_func.py:76-93 (get_chem) and
+sascorer.py (Ertl & Schuffenhauer fragment-contribution SA score). All
+metrics require RDKit — this module degrades to informative errors when it
+is absent (this image has no RDKit; see SURVEY.md §2.9: RDKit stays a
+host-side dependency role).
+"""
+
+from __future__ import annotations
+
+import gzip
+import math
+import os
+import pickle
+from collections import Counter
+from typing import Optional
+
+import numpy as np
+
+try:
+    from rdkit import Chem
+    from rdkit.Chem import Crippen, Descriptors, Lipinski, QED
+    from rdkit.Chem import rdMolDescriptors
+    HAS_RDKIT = True
+except Exception:
+    HAS_RDKIT = False
+
+_FPSCORES = os.path.join(os.path.dirname(__file__), 'assets', 'fpscores.pkl.gz')
+_sa_model = None
+
+
+def _require_rdkit():
+    if not HAS_RDKIT:
+        raise ImportError('RDKit is required for chemistry scoring '
+                          '(QED/SA/logP/Lipinski); install rdkit.')
+
+
+def _load_sa_fragment_scores():
+    global _sa_model
+    if _sa_model is None:
+        if not os.path.exists(_FPSCORES):
+            raise FileNotFoundError(
+                f'SA fragment scores not found at {_FPSCORES}; download '
+                'fpscores.pkl.gz from the RDKit contrib SA_Score directory.')
+        with gzip.open(_FPSCORES, 'rb') as f:
+            data = pickle.load(f)
+        model = {}
+        for entry in data:
+            for fp in entry[1:]:
+                model[fp] = float(entry[0])
+        _sa_model = model
+    return _sa_model
+
+
+def compute_sa_score(mol) -> float:
+    """Ertl & Schuffenhauer synthetic accessibility, normalized to (0, 1]
+    like the reference ((10 - sa) / 9; ref scoring_func.py:96-99)."""
+    _require_rdkit()
+    model = _load_sa_fragment_scores()
+    fp = rdMolDescriptors.GetMorganFingerprint(mol, 2)
+    fps = fp.GetNonzeroElements()
+    score1 = 0.0
+    nf = 0
+    for bit_id, count in fps.items():
+        nf += count
+        score1 += model.get(bit_id, -4.0) * count
+    score1 /= max(nf, 1)
+
+    n_atoms = mol.GetNumAtoms()
+    n_chiral = len(Chem.FindMolChiralCenters(mol, includeUnassigned=True))
+    ri = mol.GetRingInfo()
+    n_spiro = rdMolDescriptors.CalcNumSpiroAtoms(mol)
+    n_bridge = rdMolDescriptors.CalcNumBridgeheadAtoms(mol)
+    n_macro = sum(1 for ring in ri.AtomRings() if len(ring) > 8)
+
+    size_penalty = n_atoms ** 1.005 - n_atoms
+    stereo_penalty = math.log10(n_chiral + 1)
+    spiro_penalty = math.log10(n_spiro + 1)
+    bridge_penalty = math.log10(n_bridge + 1)
+    macro_penalty = math.log10(2) if n_macro > 0 else 0.0
+    score2 = (-size_penalty - stereo_penalty - spiro_penalty - bridge_penalty
+              - macro_penalty)
+    score3 = 0.0
+    if n_atoms > len(fps):
+        score3 = math.log(float(n_atoms) / len(fps)) * 0.5
+
+    sascore = score1 + score2 + score3
+    smin, smax = -4.0, 2.5
+    sascore = 11.0 - (sascore - smin + 1) / (smax - smin) * 9.0
+    if sascore > 8.0:
+        sascore = 8.0 + math.log(sascore + 1.0 - 9.0)
+    sascore = min(max(sascore, 1.0), 10.0)
+    return round((10.0 - sascore) / 9.0, 2)
+
+
+def obey_lipinski(mol) -> int:
+    """Count of satisfied Lipinski rules (ref scoring_func.py:102-110)."""
+    _require_rdkit()
+    mol = Chem.Mol(mol)
+    Chem.SanitizeMol(mol)
+    rule_1 = Descriptors.ExactMolWt(mol) < 500
+    rule_2 = Lipinski.NumHDonors(mol) <= 5
+    rule_3 = Lipinski.NumHAcceptors(mol) <= 10
+    logp = Crippen.MolLogP(mol)
+    rule_4 = -2 <= logp <= 5
+    rule_5 = rdMolDescriptors.CalcNumRotatableBonds(mol) <= 10
+    return int(sum([rule_1, rule_2, rule_3, rule_4, rule_5]))
+
+
+def get_ring_sizes(mol) -> Counter:
+    """Histogram of ring sizes (ref scoring_func.py:86-88). Works on RDKit
+    mols (SSSR) and on MolRecords (fundamental-cycle basis from a spanning
+    forest — equivalent for the small, mostly-planar rings of drug-like
+    molecules)."""
+    if HAS_RDKIT and not hasattr(mol, 'bond_index'):
+        ri = mol.GetRingInfo()
+        return Counter(len(r) for r in ri.AtomRings())
+    from decompdiff_tpu.reconstruct.builder import _undirected_bonds
+    bonds = _undirected_bonds(mol.bond_index, mol.bond_type)
+    adj = {}
+    for (a, b) in bonds:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    parent, depth = {}, {}
+    tree_edges = set()
+    for root in range(mol.num_atoms):
+        if root in parent or root not in adj:
+            continue
+        parent[root], depth[root] = root, 0
+        stack = [root]
+        while stack:
+            u = stack.pop()
+            for v in adj.get(u, ()):
+                if v not in parent:
+                    parent[v], depth[v] = u, depth[u] + 1
+                    tree_edges.add((min(u, v), max(u, v)))
+                    stack.append(v)
+    sizes = Counter()
+    for (a, b) in bonds:
+        if (a, b) in tree_edges:
+            continue
+        # ring length = tree path length(a, b) + 1
+        ua, ub, length = a, b, 1
+        while ua != ub:
+            if depth[ua] >= depth[ub]:
+                ua = parent[ua]
+            else:
+                ub = parent[ub]
+            length += 1
+        sizes[length] += 1
+    return sizes
+
+
+def get_chem(mol) -> dict:
+    """QED / SA / logP / Lipinski / ring sizes (ref scoring_func.py:76-93)."""
+    _require_rdkit()
+    qed_score = QED.qed(mol)
+    sa_score = compute_sa_score(mol)
+    logp_score = Crippen.MolLogP(mol)
+    lipinski_score = obey_lipinski(mol)
+    ring_info = mol.GetRingInfo()
+    ring_size = Counter([len(r) for r in ring_info.AtomRings()])
+    return {
+        'qed': qed_score,
+        'sa': sa_score,
+        'logp': logp_score,
+        'lipinski': lipinski_score,
+        'ring_size': ring_size,
+    }
+
+
+def tanimoto_sim(mol, ref) -> float:
+    """RDKFingerprint Tanimoto (ref utils/evaluation/similarity.py:9-24)."""
+    _require_rdkit()
+    from rdkit import DataStructs
+    fp1 = Chem.RDKFingerprint(mol)
+    fp2 = Chem.RDKFingerprint(ref)
+    return DataStructs.TanimotoSimilarity(fp1, fp2)
