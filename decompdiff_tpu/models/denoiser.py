@@ -116,25 +116,45 @@ class DecompDenoiser(nn.Module):
         mask_ligand = jnp.concatenate([false_p, batch.ligand_mask], axis=1)
         movable = jnp.concatenate([false_p, batch.update_mask()], axis=1)
 
-        # --- bond stream inputs ---
-        bond_onehot = jax.nn.one_hot(bond_type, self.num_bond_classes)
-        h_bond = nn.Dense(hidden_dim, name='ligand_bond_emb')(bond_onehot)
-
-        refine = UniTransformerBond(
-            num_blocks=cfg['num_blocks'],
-            num_layers=cfg['num_layers'],
-            hidden_dim=hidden_dim,
-            n_heads=cfg['n_heads'],
-            k=cfg['knn'],
-            edge_feat_dim=cfg.get('edge_feat_dim', 4),
-            num_r_gaussian=cfg.get('num_r_gaussian', 20),
-            use_global_ew=cfg.get('use_global_ew', True),
-            x2h_out_fc=cfg.get('x2h_out_fc', True),
-            include_h_node=cfg.get('h_node_in_bond_net', False),
-            remat=cfg.get('remat', False),
-            name='refine_net')
-        outputs = refine(h_all, pos_all, h_bond, mask_all, mask_ligand,
-                         movable, batch.bond_mask, num_protein=Np)
+        # --- refine net (ref models/encoders/__init__.py:5-47) ---
+        model_type = cfg.get('model_type', 'uni_o2_bond')
+        if model_type == 'uni_o2_bond':
+            bond_onehot = jax.nn.one_hot(bond_type, self.num_bond_classes)
+            h_bond = nn.Dense(hidden_dim, name='ligand_bond_emb')(bond_onehot)
+            refine = UniTransformerBond(
+                num_blocks=cfg['num_blocks'],
+                num_layers=cfg['num_layers'],
+                hidden_dim=hidden_dim,
+                n_heads=cfg['n_heads'],
+                k=cfg['knn'],
+                edge_feat_dim=cfg.get('edge_feat_dim', 4),
+                num_r_gaussian=cfg.get('num_r_gaussian', 20),
+                use_global_ew=cfg.get('use_global_ew', True),
+                x2h_out_fc=cfg.get('x2h_out_fc', True),
+                include_h_node=cfg.get('h_node_in_bond_net', False),
+                remat=cfg.get('remat', False),
+                name='refine_net')
+            outputs = refine(h_all, pos_all, h_bond, mask_all, mask_ligand,
+                             movable, batch.bond_mask, num_protein=Np)
+        elif model_type == 'uni_o2':
+            from decompdiff_tpu.models.uni_transformer import UniTransformerO2
+            refine = UniTransformerO2(
+                num_blocks=cfg['num_blocks'],
+                num_layers=cfg['num_layers'],
+                hidden_dim=hidden_dim,
+                n_heads=cfg['n_heads'],
+                k=cfg['knn'],
+                edge_feat_dim=cfg.get('edge_feat_dim', 4),
+                num_r_gaussian=cfg.get('num_r_gaussian', 20),
+                ew_net_type=cfg.get('ew_net_type', 'global'),
+                num_x2h=cfg.get('num_x2h', 1),
+                num_h2x=cfg.get('num_h2x', 1),
+                x2h_out_fc=cfg.get('x2h_out_fc', True),
+                sync_twoup=cfg.get('sync_twoup', False),
+                name='refine_net')
+            outputs = refine(h_all, pos_all, mask_all, mask_ligand, movable)
+        else:
+            raise ValueError(model_type)
 
         final_h_lig = outputs['h'][:, Np:Np + Nl]
         final_pos_lig = outputs['x'][:, Np:Np + Nl]
@@ -149,6 +169,8 @@ class DecompDenoiser(nn.Module):
         if cfg.get('bond_diffusion', False):
             bond_net_type = cfg.get('bond_net_type', 'lin')
             if bond_net_type == 'lin':
+                assert 'h_bond' in outputs, \
+                    "bond_net_type 'lin' requires the uni_o2_bond refine net"
                 bond_in = outputs['h_bond']
             elif bond_net_type == 'pre_att':
                 # pair features over the dense bond graph (ref :325-333)

@@ -1,0 +1,98 @@
+"""Bucketed batching data loader (host).
+
+Replaces the PyG DataLoader + __inc__ collation (ref
+scripts/train_diffusion_decomp.py:121-133) with: featurize on worker threads,
+group samples by bucket key so every batch pads into one of a few fixed
+shapes, prefetch ahead of the device loop.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from decompdiff_tpu.data.collate import (
+    GROUP_BUCKETS, LIGAND_BUCKETS, PROTEIN_BUCKETS, bucket_key, collate)
+
+
+class BucketedLoader:
+    """Infinite iterator of ComplexBatch (role: ref utils/train.py:25-31
+    inf_iterator + DataLoader)."""
+
+    def __init__(self, dataset, indices: Sequence[int], batch_size: int,
+                 shuffle: bool = True, seed: int = 0,
+                 num_threads: int = 2, prefetch: int = 4,
+                 protein_buckets=PROTEIN_BUCKETS,
+                 ligand_buckets=LIGAND_BUCKETS,
+                 group_buckets=GROUP_BUCKETS,
+                 infinite: bool = True,
+                 drop_oversize: bool = True):
+        self.dataset = dataset
+        self.indices = list(indices)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.buckets = (protein_buckets, ligand_buckets, group_buckets)
+        self.infinite = infinite
+        self.drop_oversize = drop_oversize
+        self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    def _record_iter(self):
+        while True:
+            order = np.array(self.indices)
+            if self.shuffle:
+                self.rng.shuffle(order)
+            for idx in order:
+                try:
+                    yield self.dataset[int(idx)]
+                except Exception:
+                    continue  # error-bucket robustness (skip bad samples)
+            if not self.infinite:
+                return
+
+    def _producer(self):
+        pb, lb, gb = self.buckets
+        pending: dict = {}
+        try:
+            for rec in self._record_iter():
+                if self._stop.is_set():
+                    return
+                try:
+                    key = bucket_key(rec, pb, lb, gb)
+                except ValueError:
+                    if self.drop_oversize:
+                        continue
+                    raise
+                pending.setdefault(key, []).append(rec)
+                if len(pending[key]) == self.batch_size:
+                    batch = collate(pending.pop(key),
+                                    np_override=key[0], nl_override=key[1],
+                                    na_override=key[2])
+                    self._queue.put(batch)
+            # flush partial batches at the end of a finite pass
+            for key, recs in pending.items():
+                if recs:
+                    self._queue.put(collate(
+                        recs, np_override=key[0], nl_override=key[1],
+                        na_override=key[2]))
+            self._queue.put(None)
+        except Exception as e:  # surface producer errors to the consumer
+            self._queue.put(e)
+
+    def __iter__(self) -> Iterator:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+    def close(self):
+        self._stop.set()

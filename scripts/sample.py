@@ -1,0 +1,173 @@
+"""Sampling driver (L7).
+
+Usage:
+    python scripts/sample.py configs/sampling.yml --ckpt CKPT -i DATA_ID
+        --outdir OUT [--prior_mode {subpocket,ref_prior,beta_prior}]
+        [--num_samples N] [--batch_size B]
+
+Protocol parity with ref scripts/sample_diffusion_decomp.py: model config is
+re-read from the checkpoint; per-batch initialization per prior mode (atom
+counts, N(mu_k, sigma_k) init positions, marginal/uniform init types); the
+scanned on-device reverse diffusion with guidance; host reconstruction; one
+results pickle per pocket with mols + predictions + trajectories.
+"""
+
+import argparse
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('config')
+    parser.add_argument('--ckpt', required=True)
+    parser.add_argument('-i', '--data_id', type=int, default=0)
+    parser.add_argument('--outdir', default='./outputs')
+    parser.add_argument('--prior_mode', default=None)
+    parser.add_argument('--num_samples', type=int, default=None)
+    parser.add_argument('--batch_size', type=int, default=8)
+    parser.add_argument('--save_traj', action='store_true')
+    args = parser.parse_args()
+
+    from decompdiff_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    import jax
+    import jax.numpy as jnp
+
+    from decompdiff_tpu.config import Config, load_config
+    from decompdiff_tpu.constants import atom_class_count
+    from decompdiff_tpu.data.batch import FullProtein
+    from decompdiff_tpu.data.collate import collate
+    from decompdiff_tpu.data.dataset import DecompDataset
+    from decompdiff_tpu.data.mol import mol_to_sdf_block
+    from decompdiff_tpu.data.store import DDStore
+    from decompdiff_tpu.models.diffusion_model import DecompDiffModel
+    from decompdiff_tpu.priors.atom_num import NumAtomsSampler, load_num_config
+    from decompdiff_tpu.priors.beta import substitute_with_beta_prior
+    from decompdiff_tpu.reconstruct.builder import (
+        MolReconsError, is_connected, mol_record_from_prediction)
+    from decompdiff_tpu.sampling.init import (
+        build_generation_records, init_types_host)
+    from decompdiff_tpu.sampling.sampler import SampleConfig, sample_diffusion
+    from decompdiff_tpu.utils.checkpoint import load_checkpoint
+    from decompdiff_tpu.utils.misc import get_logger, seed_all
+
+    sample_cfg_file = load_config(args.config)
+    scfg = sample_cfg_file.sample
+    seed_all(scfg.get('seed', 2021))
+    os.makedirs(args.outdir, exist_ok=True)
+    logger = get_logger('sample', args.outdir)
+
+    # model from checkpoint config (ref :499-545)
+    ckpt = load_checkpoint(args.ckpt)
+    train_config = Config(ckpt['config'])
+    atom_mode = train_config.data.transform.get('ligand_atom_mode', 'basic')
+    num_classes = atom_class_count(atom_mode)
+    model = DecompDiffModel.create(train_config.model.to_dict(), num_classes)
+    params = jax.tree.map(jnp.asarray, ckpt['params'])
+
+    # data
+    store = DDStore(sample_cfg_file.data.path)
+    dataset = DecompDataset(store, ligand_atom_mode=atom_mode)
+    raw = dataset.get_raw(args.data_id)
+    prior_mode = args.prior_mode or scfg.get('prior_mode', 'ref_prior')
+    if prior_mode == 'beta_prior' and scfg.get('beta_prior_path'):
+        raw = substitute_with_beta_prior(
+            raw, scfg.beta_prior_path.format(id=args.data_id))
+
+    num_atoms_mode = scfg.get('sample_num_atoms', 'ref')
+    if num_atoms_mode == 'prior':
+        arms_cfg = load_num_config(
+            scfg.get('arms_num_atoms_config', 'arm_num_config'))
+        sca_cfg = load_num_config(
+            scfg.get('scaffold_num_atoms_config', 'scaffold_num_config'))
+    else:
+        arms_cfg = sca_cfg = None
+    natoms_sampler = (NumAtomsSampler.from_pickle(scfg.natoms_config)
+                      if num_atoms_mode == 'stat' else None)
+
+    energy_drift = tuple(dict(d) for d in scfg.get('energy_drift', []))
+    sample_config = SampleConfig(
+        num_steps=scfg.get('num_steps', model.num_timesteps),
+        save_traj=args.save_traj,
+        energy_drift=energy_drift)
+
+    full_protein = None
+    if any(d['type'] == 'clash' for d in energy_drift):
+        fp = np.asarray(raw['protein_pos'], np.float32)
+        full_protein_pos = fp  # pocket store = full protein when available
+
+    num_samples = args.num_samples or scfg.get('num_samples', 10)
+    rng_np = np.random.default_rng(scfg.get('seed', 2021))
+    results = []
+    n_batches = int(np.ceil(num_samples / args.batch_size))
+    t_start = time.time()
+    for bi in range(n_batches):
+        n = min(args.batch_size, num_samples - bi * args.batch_size)
+        records = build_generation_records(
+            raw, n, prior_mode, num_atoms_mode, rng_np,
+            arms_natoms_config=arms_cfg, scaffold_natoms_config=sca_cfg,
+            natoms_sampler=natoms_sampler)
+        records = init_types_host(
+            rng_np, records, num_classes, model.bond_diff.num_classes)
+        batch = collate(records)
+        if any(d['type'] == 'clash' for d in energy_drift):
+            B = batch.batch_size
+            full_protein = FullProtein(
+                pos=jnp.broadcast_to(jnp.asarray(full_protein_pos),
+                                     (B,) + full_protein_pos.shape),
+                mask=jnp.ones((B, len(full_protein_pos)), bool))
+        out = sample_diffusion(
+            model, sample_config, params,
+            jax.random.PRNGKey(scfg.get('seed', 2021) + bi), batch,
+            batch.ligand_pos, batch.ligand_v, batch.bond_type, full_protein)
+
+        pos = np.asarray(out['pos'])
+        v = np.asarray(out['v'])
+        bond = np.asarray(out['bond'])
+        mask = np.asarray(batch.ligand_mask)
+        for s in range(n):
+            m = mask[s]
+            pred_pos, pred_v = pos[s][m], v[s][m]
+            pred_bond = bond[s][np.ix_(m, m)]
+            entry = {
+                'pred_pos': pred_pos, 'pred_v': pred_v,
+                'pred_bond': pred_bond,
+                'decomp_mask': np.asarray(batch.ligand_decomp_idx[s])[m],
+                'mol': None, 'smiles': None, 'complete': False,
+            }
+            try:
+                mol = mol_record_from_prediction(
+                    pred_pos, pred_v, pred_bond, atom_mode=atom_mode)
+                entry['mol'] = mol
+                entry['complete'] = is_connected(mol)
+                if not hasattr(mol, 'bond_index'):  # rdkit mol
+                    from rdkit import Chem
+                    entry['smiles'] = Chem.MolToSmiles(mol)
+                else:
+                    entry['sdf'] = mol_to_sdf_block(mol)
+            except MolReconsError as e:
+                entry['recon_error'] = str(e)
+            results.append(entry)
+        logger.info(f'batch {bi + 1}/{n_batches} done '
+                    f'({time.time() - t_start:.1f}s)')
+
+    n_recon = sum(1 for r in results if r['mol'] is not None)
+    n_complete = sum(1 for r in results if r['complete'])
+    logger.info(f'reconstructed {n_recon}/{len(results)}, '
+                f'complete {n_complete}/{len(results)}')
+    out_path = os.path.join(args.outdir, f'result_{args.data_id}.pkl')
+    with open(out_path, 'wb') as f:
+        pickle.dump({'data_id': args.data_id, 'results': results,
+                     'config': sample_cfg_file.to_dict()}, f)
+    logger.info(f'saved {out_path}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,185 @@
+"""Training driver (L6).
+
+Usage:
+    python scripts/train.py configs/training.yml [--outdir logs]
+        [--resume CKPT] [--max_iters N]
+
+Protocol parity with ref scripts/train_diffusion_decomp.py: transform stack
+from config, infinite bucketed loader, Adam + plateau-on-val, input jitter,
+grad clip, validation at 10 fixed timesteps with unit prior stds + AUROC,
+best-checkpoint saving — plus real resume (absent in the reference).
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('config')
+    parser.add_argument('--outdir', default='./logs')
+    parser.add_argument('--resume', default=None)
+    parser.add_argument('--max_iters', type=int, default=None)
+    parser.add_argument('--val_freq', type=int, default=None)
+    parser.add_argument('--report_freq', type=int, default=200)
+    args = parser.parse_args()
+
+    from decompdiff_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    import jax
+
+    from decompdiff_tpu.config import load_config, save_config
+    from decompdiff_tpu.constants import atom_class_count
+    from decompdiff_tpu.data.dataset import DecompDataset
+    from decompdiff_tpu.data.store import DDStore
+    from decompdiff_tpu.models.diffusion_model import DecompDiffModel
+    from decompdiff_tpu.parallel.mesh import make_mesh, shard_batch
+    from decompdiff_tpu.training.loader import BucketedLoader
+    from decompdiff_tpu.training.metrics import get_auroc, get_bond_auroc
+    from decompdiff_tpu.training.train_step import (
+        PlateauScheduler, create_train_state, get_learning_rate,
+        make_eval_step, make_train_step, set_learning_rate)
+    from decompdiff_tpu.utils.checkpoint import (
+        load_checkpoint, restore_train_state, save_checkpoint)
+    from decompdiff_tpu.utils.misc import (
+        count_parameters, get_logger, get_new_log_dir, seed_all)
+
+    config = load_config(args.config)
+    seed_all(config.train.seed)
+    log_dir = get_new_log_dir(args.outdir, prefix='train')
+    ckpt_dir = os.path.join(log_dir, 'checkpoints')
+    os.makedirs(ckpt_dir, exist_ok=True)
+    logger = get_logger('train', log_dir)
+    save_config(config, os.path.join(log_dir, 'config.yml'))
+
+    # --- data ---
+    store = DDStore(config.data.path)
+    dataset = DecompDataset(
+        store,
+        prior_mode=config.data.get('prior_mode', 'ref_prior'),
+        ligand_atom_mode=config.data.transform.get('ligand_atom_mode', 'basic'),
+        random_rot=config.data.transform.get('random_rot', False))
+    split_path = config.data.get('split')
+    if split_path and os.path.exists(split_path):
+        import pickle
+        with open(split_path, 'rb') as f:
+            split_names = pickle.load(f)
+        split = dataset.split_by_names(split_names)
+    else:
+        ids = list(range(len(dataset)))
+        n_test = max(1, len(ids) // 10)
+        split = {'train': ids[:-n_test], 'test': ids[-n_test:]}
+    logger.info(f'train: {len(split["train"])}, test: {len(split["test"])}')
+
+    batch_size = config.train.batch_size
+    train_loader = BucketedLoader(dataset, split['train'], batch_size,
+                                  shuffle=True, seed=config.train.seed)
+    train_iter = iter(train_loader)
+
+    # --- model ---
+    num_classes = atom_class_count(
+        config.data.transform.get('ligand_atom_mode', 'basic'))
+    model = DecompDiffModel.create(config.model.to_dict(), num_classes)
+
+    example = next(train_iter)
+    state, tx = create_train_state(model, jax.random.PRNGKey(config.train.seed),
+                                   example, config.train)
+    logger.info(f'# parameters: {count_parameters(state.params) / 1e6:.4f} M')
+
+    scheduler = PlateauScheduler(
+        factor=config.train.scheduler.get('factor', 0.6),
+        patience=config.train.scheduler.get('patience', 10),
+        min_lr=config.train.scheduler.get('min_lr', 1e-6))
+    start_iter = 1
+    if args.resume:
+        ckpt = load_checkpoint(args.resume)
+        state = restore_train_state(ckpt, state)
+        scheduler.load_state_dict(ckpt['scheduler'])
+        start_iter = ckpt['iteration'] + 1
+        logger.info(f'resumed from {args.resume} at iteration {start_iter}')
+
+    # dp mesh (all visible devices)
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    if mesh:
+        logger.info(f'data-parallel over {jax.device_count()} devices')
+
+    train_step = make_train_step(model, tx, config.train)
+    eval_step = make_eval_step(model, config.train)
+    rng = jax.random.PRNGKey(config.train.seed)
+
+    def validate(it):
+        val_loader = BucketedLoader(dataset, split['test'], batch_size,
+                                    shuffle=False, infinite=False)
+        losses, n = {}, 0
+        all_pred_v, all_true_v = [], []
+        all_pred_b, all_true_b = [], []
+        for batch in val_loader:
+            for t in np.linspace(0, model.num_timesteps - 1, 10).astype(int):
+                metrics, v_recon, b_recon = eval_step(
+                    state.params, batch, int(t), jax.random.PRNGKey(it))
+                for k, v in metrics.items():
+                    losses[k] = losses.get(k, 0.0) + float(v)
+                n += 1
+                lm = np.asarray(batch.ligand_mask)
+                all_pred_v.append(np.asarray(v_recon)[lm])
+                all_true_v.append(np.asarray(batch.ligand_v)[lm])
+                if b_recon is not None:
+                    bm = np.asarray(batch.bond_mask)
+                    all_pred_b.append(np.asarray(b_recon)[bm])
+                    all_true_b.append(np.asarray(batch.bond_type)[bm])
+        losses = {k: v / max(n, 1) for k, v in losses.items()}
+        atom_auroc = get_auroc(np.concatenate(all_true_v),
+                               np.concatenate(all_pred_v))
+        bond_auroc = (get_bond_auroc(np.concatenate(all_true_b),
+                                     np.concatenate(all_pred_b))
+                      if all_pred_b else 0.0)
+        logger.info(f'[val {it}] ' + ' '.join(
+            f'{k}={v:.4f}' for k, v in losses.items())
+            + f' atom_auroc={atom_auroc:.4f} bond_auroc={bond_auroc:.4f}')
+        return losses['loss']
+
+    max_iters = args.max_iters or config.train.max_iters
+    val_freq = args.val_freq or config.train.val_freq
+    best_loss, best_iter = None, None
+    try:
+        for it in range(start_iter, max_iters + 1):
+            batch = next(train_iter)
+            if mesh:
+                batch = shard_batch(batch, mesh)
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, batch, sub)
+            if it % args.report_freq == 0 or it == 1:
+                logger.info(f'[train {it}] ' + ' '.join(
+                    f'{k}={float(v):.4f}' for k, v in metrics.items())
+                    + f' lr={get_learning_rate(state.opt_state):.2e}')
+            if it % val_freq == 0 or it == max_iters:
+                val_loss = validate(it)
+                lr = get_learning_rate(state.opt_state)
+                new_lr = scheduler.step(val_loss, lr)
+                if new_lr != lr:
+                    state = state.replace(
+                        opt_state=set_learning_rate(state.opt_state, new_lr))
+                    logger.info(f'lr reduced to {new_lr:.2e}')
+                if best_loss is None or val_loss < best_loss:
+                    best_loss, best_iter = val_loss, it
+                    path = os.path.join(ckpt_dir, f'{it}.ckpt')
+                    save_checkpoint(path, config.to_dict(), state,
+                                    scheduler.state_dict(), it)
+                    logger.info(f'[val] best val loss {val_loss:.6f}, '
+                                f'saved {path}')
+                else:
+                    logger.info(f'[val] not improved; best {best_loss:.6f} '
+                                f'at iter {best_iter}')
+    except KeyboardInterrupt:
+        logger.info('Terminating...')
+    finally:
+        train_loader.close()
+
+
+if __name__ == '__main__':
+    main()
