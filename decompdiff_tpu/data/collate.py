@@ -51,43 +51,37 @@ def collate(records: List[dict],
     A = na_override or bucketize(
         max(len(r['prior_centers']) for r in records), group_buckets)
 
-    feat_dim = records[0]['protein_feat'].shape[-1]
-    aux_dim = records[0]['ligand_aux'].shape[-1]
+    from decompdiff_tpu import native
 
-    protein_pos = np.zeros((B, Np, 3), np.float32)
-    protein_feat = np.zeros((B, Np, feat_dim), np.float32)
-    protein_mask = np.zeros((B, Np), bool)
-    ligand_pos = np.zeros((B, Nl, 3), np.float32)
-    ligand_v = np.zeros((B, Nl), np.int32)
-    ligand_aux = np.zeros((B, Nl, aux_dim), np.float32)
-    ligand_mask = np.zeros((B, Nl), bool)
-    decomp_idx = np.zeros((B, Nl), np.int32)
-    bond_type = np.zeros((B, Nl, Nl), np.int32)
-    prior_centers = np.zeros((B, A, 3), np.float32)
-    prior_stds = np.ones((B, A, 3), np.float32)
-    prior_num = np.zeros((B, A), np.int32)
-    prior_mask = np.zeros((B, A), bool)
-    num_arms = np.zeros((B,), np.int32)
+    def f32(key):
+        return [np.asarray(r[key], np.float32) for r in records]
 
-    for b, r in enumerate(records):
-        np_, nl_ = len(r['protein_pos']), len(r['ligand_pos'])
-        a_ = len(r['prior_centers'])
-        protein_pos[b, :np_] = r['protein_pos']
-        protein_feat[b, :np_] = r['protein_feat']
-        protein_mask[b, :np_] = True
-        ligand_pos[b, :nl_] = r['ligand_pos']
-        ligand_v[b, :nl_] = r['ligand_v']
-        ligand_aux[b, :nl_] = r['ligand_aux']
-        ligand_mask[b, :nl_] = True
-        decomp_idx[b, :nl_] = r['ligand_decomp_idx']
-        bond_type[b, :nl_, :nl_] = r['bond_type']
-        prior_centers[b, :a_] = r['prior_centers']
-        prior_stds[b, :a_] = r['prior_stds']
-        prior_num[b, :a_] = r['prior_num_atoms']
-        prior_mask[b, :a_] = True
-        num_arms[b] = r['num_arms']
+    def i32(key):
+        return [np.asarray(r[key], np.int32) for r in records]
 
-    bond_mask = make_bond_mask(ligand_mask)
+    p_counts = [len(r['protein_pos']) for r in records]
+    l_counts = [len(r['ligand_pos']) for r in records]
+    a_counts = [len(r['prior_centers']) for r in records]
+
+    protein_pos = native.pad_stack_f32(f32('protein_pos'), Np)
+    protein_feat = native.pad_stack_f32(f32('protein_feat'), Np)
+    protein_mask = native.length_masks(p_counts, Np)
+    ligand_pos = native.pad_stack_f32(f32('ligand_pos'), Nl)
+    ligand_v = native.pad_stack_i32(i32('ligand_v'), Nl)[..., 0]
+    ligand_aux = native.pad_stack_f32(f32('ligand_aux'), Nl)
+    ligand_mask = native.length_masks(l_counts, Nl)
+    decomp_idx = native.pad_stack_i32(i32('ligand_decomp_idx'), Nl)[..., 0]
+    bond_type = native.pad_square_stack_i32(
+        [np.asarray(r['bond_type'], np.int32) for r in records], Nl)
+    prior_centers = native.pad_stack_f32(f32('prior_centers'), A)
+    prior_stds = native.pad_stack_f32(f32('prior_stds'), A)
+    # padded prior rows keep std 1 so padded-atom math stays harmless
+    prior_mask = native.length_masks(a_counts, A)
+    prior_stds = np.where(prior_mask[..., None], prior_stds, 1.0)
+    prior_num = native.pad_stack_i32(i32('prior_num_atoms'), A)[..., 0]
+    num_arms = np.array([r['num_arms'] for r in records], np.int32)
+
+    bond_mask = native.fc_bond_masks(l_counts, Nl)
     bond_type = np.where(bond_mask, bond_type, 0)
 
     return ComplexBatch(

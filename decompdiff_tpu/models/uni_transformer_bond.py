@@ -58,13 +58,22 @@ class NodeEdgeAttention(nn.Module):
 
     @nn.compact
     def __call__(self, h, edge_feat, nbr_idx, nbr_mask, e_w=None):
-        hj = gather_nodes(h, nbr_idx)                            # src features
-        hi = jnp.broadcast_to(h[:, :, None, :], hj.shape)        # dst features
-        kv_input = jnp.concatenate([edge_feat, hi, hj], axis=-1)
+        # Factorized kv projection: the reference's first Linear over the
+        # concatenated [edge_feat, h_dst, h_src] (ref :48-54) decomposes
+        # exactly into W_e@edge_feat (per edge) + W_i@h (per dst node) +
+        # W_j@h (per src node, gathered) — same function space, but the
+        # expensive per-edge matmul shrinks from (Fe+2H) -> Fe input dims.
+        def fact_mlp(name, out_dim):
+            pre = (nn.Dense(self.hidden_dim, name=f'{name}_e')(edge_feat)
+                   + nn.Dense(self.hidden_dim, use_bias=False,
+                              name=f'{name}_i')(h)[:, :, None, :]
+                   + gather_nodes(nn.Dense(self.hidden_dim, use_bias=False,
+                                           name=f'{name}_j')(h), nbr_idx))
+            y = nn.relu(nn.LayerNorm(epsilon=1e-5, name=f'{name}_ln')(pre))
+            return nn.Dense(out_dim, name=f'{name}_out')(y)
 
-        k = _heads(MLP(self.hidden_dim, self.hidden_dim, name='hk')(kv_input),
-                   self.n_heads)
-        v = MLP(self.hidden_dim, self.hidden_dim, name='hv')(kv_input)
+        k = _heads(fact_mlp('hk', self.hidden_dim), self.n_heads)
+        v = fact_mlp('hv', self.hidden_dim)
         if e_w is not None:
             v = v * e_w
         v = _heads(v, self.n_heads)
@@ -93,15 +102,17 @@ class NodeBondAttention(nn.Module):
     @nn.compact
     def __call__(self, h_lig, h_bond, bond_mask):
         # h_bond [B, Nl(i), Nl(j), H]; dst = i, src = j
-        Nl = h_lig.shape[1]
-        hi = jnp.broadcast_to(h_lig[:, :, None, :], h_bond.shape)
-        hj = jnp.broadcast_to(h_lig[:, None, :, :], h_bond.shape)
-        kv_input = jnp.concatenate([h_bond, hi, hj], axis=-1)
+        def fact_mlp(name, out_dim):
+            pre = (nn.Dense(self.hidden_dim, name=f'{name}_e')(h_bond)
+                   + nn.Dense(self.hidden_dim, use_bias=False,
+                              name=f'{name}_i')(h_lig)[:, :, None, :]
+                   + nn.Dense(self.hidden_dim, use_bias=False,
+                              name=f'{name}_j')(h_lig)[:, None, :, :])
+            y = nn.relu(nn.LayerNorm(epsilon=1e-5, name=f'{name}_ln')(pre))
+            return nn.Dense(out_dim, name=f'{name}_out')(y)
 
-        k = _heads(MLP(self.hidden_dim, self.hidden_dim, name='hk')(kv_input),
-                   self.n_heads)
-        v = _heads(MLP(self.hidden_dim, self.hidden_dim, name='hv')(kv_input),
-                   self.n_heads)
+        k = _heads(fact_mlp('hk', self.hidden_dim), self.n_heads)
+        v = _heads(fact_mlp('hv', self.hidden_dim), self.n_heads)
         q = _heads(MLP(self.hidden_dim, self.hidden_dim, name='hq')(h_lig),
                    self.n_heads)
 
@@ -213,13 +224,17 @@ class PosEdgeAttention(nn.Module):
 
     @nn.compact
     def __call__(self, h, rel_x, edge_feat, nbr_idx, nbr_mask, e_w=None):
-        hj = gather_nodes(h, nbr_idx)
-        hi = jnp.broadcast_to(h[:, :, None, :], hj.shape)
-        kv_input = jnp.concatenate([edge_feat, hi, hj], axis=-1)
+        def fact_mlp(name, out_dim):
+            pre = (nn.Dense(self.hidden_dim, name=f'{name}_e')(edge_feat)
+                   + nn.Dense(self.hidden_dim, use_bias=False,
+                              name=f'{name}_i')(h)[:, :, None, :]
+                   + gather_nodes(nn.Dense(self.hidden_dim, use_bias=False,
+                                           name=f'{name}_j')(h), nbr_idx))
+            y = nn.relu(nn.LayerNorm(epsilon=1e-5, name=f'{name}_ln')(pre))
+            return nn.Dense(out_dim, name=f'{name}_out')(y)
 
-        k = _heads(MLP(self.hidden_dim, self.hidden_dim, name='xk')(kv_input),
-                   self.n_heads)
-        v = MLP(self.n_heads, self.hidden_dim, name='xv')(kv_input)  # [B,N,K,heads]
+        k = _heads(fact_mlp('xk', self.hidden_dim), self.n_heads)
+        v = fact_mlp('xv', self.n_heads)                          # [B,N,K,heads]
         if e_w is not None:
             v = v * e_w
         v = v[..., None] * rel_x[..., None, :]                    # [B,N,K,heads,3]
@@ -241,13 +256,17 @@ class PosBondAttention(nn.Module):
 
     @nn.compact
     def __call__(self, h_lig, rel_x, h_bond, bond_mask):
-        hi = jnp.broadcast_to(h_lig[:, :, None, :], h_bond.shape)
-        hj = jnp.broadcast_to(h_lig[:, None, :, :], h_bond.shape)
-        kv_input = jnp.concatenate([h_bond, hi, hj], axis=-1)
+        def fact_mlp(name, out_dim):
+            pre = (nn.Dense(self.hidden_dim, name=f'{name}_e')(h_bond)
+                   + nn.Dense(self.hidden_dim, use_bias=False,
+                              name=f'{name}_i')(h_lig)[:, :, None, :]
+                   + nn.Dense(self.hidden_dim, use_bias=False,
+                              name=f'{name}_j')(h_lig)[:, None, :, :])
+            y = nn.relu(nn.LayerNorm(epsilon=1e-5, name=f'{name}_ln')(pre))
+            return nn.Dense(out_dim, name=f'{name}_out')(y)
 
-        k = _heads(MLP(self.hidden_dim, self.hidden_dim, name='xk')(kv_input),
-                   self.n_heads)
-        v = MLP(self.n_heads, self.hidden_dim, name='xv')(kv_input)
+        k = _heads(fact_mlp('xk', self.hidden_dim), self.n_heads)
+        v = fact_mlp('xv', self.n_heads)
         v = v[..., None] * rel_x[..., None, :]
         q = _heads(MLP(self.hidden_dim, self.hidden_dim, name='xq')(h_lig),
                    self.n_heads)

@@ -1,0 +1,23 @@
+import time, numpy as np, jax, jax.numpy as jnp
+from decompdiff_tpu.models.diffusion_model import DecompDiffModel
+from decompdiff_tpu.utils.testing import DEFAULT_MODEL_CONFIG, random_complex_batch
+
+def scan_time(cfg_over, B=8, Np=320, Nl=32, label='', length=30):
+    cfg = dict(DEFAULT_MODEL_CONFIG); cfg.update(cfg_over)
+    model = DecompDiffModel.create(cfg, num_classes=8)
+    rng = np.random.default_rng(0)
+    batch = random_complex_batch(rng, batch_size=B, num_protein=Np, num_ligand=Nl, num_groups=6)
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    t = jnp.zeros((B,), jnp.int32)
+    def step(x, _):
+        o = model.apply(params, batch, x, batch.ligand_v, batch.bond_type, t)
+        return o['pred_ligand_pos'], None
+    f = jax.jit(lambda x0: jax.lax.scan(step, x0, None, length=length)[0])
+    x = batch.ligand_pos
+    r = f(x); jax.block_until_ready(r)
+    t0 = time.perf_counter(); r = f(x); jax.block_until_ready(r)
+    print(f'{label:45s} {(time.perf_counter()-t0)/length*1000:8.2f} ms/step', flush=True)
+
+scan_time({'model_type': 'uni_o2', 'bond_diffusion': False, 'ew_net_type': 'global'}, label='uni_o2 (edge stream only)')
+scan_time({'num_layers': 1}, label='full, 1 layer')
+scan_time({}, Nl=16, label='full, Nl=16')
