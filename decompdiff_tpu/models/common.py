@@ -75,22 +75,24 @@ class MLP(nn.Module):
     """Linear -> LayerNorm -> ReLU -> ... -> Linear (ref models/common.py:85-105).
 
     num_layer counts Linear layers; norm/activation after every layer except
-    the last (unless act_last).
+    the last (unless act_last). dtype selects the compute precision (params
+    stay float32).
     """
     out_dim: int
     hidden_dim: int
     num_layer: int = 2
     norm: bool = True
     act_last: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         for layer_idx in range(self.num_layer):
             dim = self.out_dim if layer_idx == self.num_layer - 1 else self.hidden_dim
-            x = nn.Dense(dim)(x)
+            x = nn.Dense(dim, dtype=self.dtype)(x)
             if layer_idx < self.num_layer - 1 or self.act_last:
                 if self.norm:
-                    x = nn.LayerNorm(epsilon=1e-5)(x)
+                    x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
                 x = nn.relu(x)
         return x
 
@@ -103,6 +105,7 @@ def masked_softmax(logits: jnp.ndarray, mask: jnp.ndarray,
     grouped by destination (ref encoders' attention, e.g.
     ref models/encoders/uni_transformer_edge.py:64-68).
     """
+    logits = logits.astype(jnp.float32)
     neg = jnp.finfo(logits.dtype).min
     masked = jnp.where(mask, logits, neg)
     m = jnp.max(masked, axis=axis, keepdims=True)

@@ -109,7 +109,11 @@ class DecompDenoiser(nn.Module):
             h_ligand = jnp.concatenate([h_ligand, ones], axis=-1)
 
         # --- compose context (static concat; ref models/common.py:167-194) ---
+        compute_dtype = {'float32': None, None: None,
+                         'bfloat16': jnp.bfloat16}[cfg.get('compute_dtype')]
         h_all = jnp.concatenate([h_protein, h_ligand], axis=1)
+        if compute_dtype is not None:
+            h_all = h_all.astype(compute_dtype)
         pos_all = jnp.concatenate([batch.protein_pos, ligand_pos], axis=1)
         mask_all = jnp.concatenate([batch.protein_mask, batch.ligand_mask], axis=1)
         false_p = jnp.zeros_like(batch.protein_mask)
@@ -119,8 +123,10 @@ class DecompDenoiser(nn.Module):
         # --- refine net (ref models/encoders/__init__.py:5-47) ---
         model_type = cfg.get('model_type', 'uni_o2_bond')
         if model_type == 'uni_o2_bond':
-            bond_onehot = jax.nn.one_hot(bond_type, self.num_bond_classes)
-            h_bond = nn.Dense(hidden_dim, name='ligand_bond_emb')(bond_onehot)
+            bond_onehot = jax.nn.one_hot(bond_type, self.num_bond_classes,
+                                         dtype=compute_dtype or jnp.float32)
+            h_bond = nn.Dense(hidden_dim, dtype=compute_dtype,
+                              name='ligand_bond_emb')(bond_onehot)
             refine = UniTransformerBond(
                 num_blocks=cfg['num_blocks'],
                 num_layers=cfg['num_layers'],
@@ -133,6 +139,7 @@ class DecompDenoiser(nn.Module):
                 x2h_out_fc=cfg.get('x2h_out_fc', True),
                 include_h_node=cfg.get('h_node_in_bond_net', False),
                 remat=cfg.get('remat', False),
+                dtype=compute_dtype,
                 name='refine_net')
             outputs = refine(h_all, pos_all, h_bond, mask_all, mask_ligand,
                              movable, batch.bond_mask, num_protein=Np)
@@ -156,8 +163,8 @@ class DecompDenoiser(nn.Module):
         else:
             raise ValueError(model_type)
 
-        final_h_lig = outputs['h'][:, Np:Np + Nl]
-        final_pos_lig = outputs['x'][:, Np:Np + Nl]
+        final_h_lig = outputs['h'][:, Np:Np + Nl].astype(jnp.float32)
+        final_pos_lig = outputs['x'][:, Np:Np + Nl].astype(jnp.float32)
 
         # v head (ref :194-198,317)
         y = nn.Dense(hidden_dim, name='v_inf_0')(final_h_lig)
@@ -171,7 +178,7 @@ class DecompDenoiser(nn.Module):
             if bond_net_type == 'lin':
                 assert 'h_bond' in outputs, \
                     "bond_net_type 'lin' requires the uni_o2_bond refine net"
-                bond_in = outputs['h_bond']
+                bond_in = outputs['h_bond'].astype(jnp.float32)
             elif bond_net_type == 'pre_att':
                 # pair features over the dense bond graph (ref :325-333)
                 diff = final_pos_lig[:, :, None, :] - final_pos_lig[:, None, :, :]

@@ -55,6 +55,7 @@ class NodeEdgeAttention(nn.Module):
     hidden_dim: int
     n_heads: int
     out_fc: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, h, edge_feat, nbr_idx, nbr_mask, e_w=None):
@@ -64,20 +65,20 @@ class NodeEdgeAttention(nn.Module):
         # W_j@h (per src node, gathered) — same function space, but the
         # expensive per-edge matmul shrinks from (Fe+2H) -> Fe input dims.
         def fact_mlp(name, out_dim):
-            pre = (nn.Dense(self.hidden_dim, name=f'{name}_e')(edge_feat)
-                   + nn.Dense(self.hidden_dim, use_bias=False,
+            pre = (nn.Dense(self.hidden_dim, dtype=self.dtype, name=f'{name}_e')(edge_feat)
+                   + nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                               name=f'{name}_i')(h)[:, :, None, :]
-                   + gather_nodes(nn.Dense(self.hidden_dim, use_bias=False,
+                   + gather_nodes(nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                                            name=f'{name}_j')(h), nbr_idx))
-            y = nn.relu(nn.LayerNorm(epsilon=1e-5, name=f'{name}_ln')(pre))
-            return nn.Dense(out_dim, name=f'{name}_out')(y)
+            y = nn.relu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f'{name}_ln')(pre))
+            return nn.Dense(out_dim, dtype=self.dtype, name=f'{name}_out')(y)
 
         k = _heads(fact_mlp('hk', self.hidden_dim), self.n_heads)
         v = fact_mlp('hv', self.hidden_dim)
         if e_w is not None:
             v = v * e_w
         v = _heads(v, self.n_heads)
-        q = _heads(MLP(self.hidden_dim, self.hidden_dim, name='hq')(h),
+        q = _heads(MLP(self.hidden_dim, self.hidden_dim, dtype=self.dtype, name='hq')(h),
                    self.n_heads)
 
         scale = 1.0 / np.sqrt(k.shape[-1])
@@ -86,7 +87,7 @@ class NodeEdgeAttention(nn.Module):
         out = (alpha[..., None] * v).sum(axis=2)                 # [B, N, heads, hd]
         out = out.reshape(h.shape[:-1] + (self.hidden_dim,))
         if self.out_fc:
-            out = MLP(self.hidden_dim, self.hidden_dim, name='node_output')(
+            out = MLP(self.hidden_dim, self.hidden_dim, dtype=self.dtype, name='node_output')(
                 jnp.concatenate([out, h], axis=-1))
         return out
 
@@ -98,22 +99,23 @@ class NodeBondAttention(nn.Module):
     hidden_dim: int
     n_heads: int
     out_fc: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, h_lig, h_bond, bond_mask):
         # h_bond [B, Nl(i), Nl(j), H]; dst = i, src = j
         def fact_mlp(name, out_dim):
-            pre = (nn.Dense(self.hidden_dim, name=f'{name}_e')(h_bond)
-                   + nn.Dense(self.hidden_dim, use_bias=False,
+            pre = (nn.Dense(self.hidden_dim, dtype=self.dtype, name=f'{name}_e')(h_bond)
+                   + nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                               name=f'{name}_i')(h_lig)[:, :, None, :]
-                   + nn.Dense(self.hidden_dim, use_bias=False,
+                   + nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                               name=f'{name}_j')(h_lig)[:, None, :, :])
-            y = nn.relu(nn.LayerNorm(epsilon=1e-5, name=f'{name}_ln')(pre))
-            return nn.Dense(out_dim, name=f'{name}_out')(y)
+            y = nn.relu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f'{name}_ln')(pre))
+            return nn.Dense(out_dim, dtype=self.dtype, name=f'{name}_out')(y)
 
         k = _heads(fact_mlp('hk', self.hidden_dim), self.n_heads)
         v = _heads(fact_mlp('hv', self.hidden_dim), self.n_heads)
-        q = _heads(MLP(self.hidden_dim, self.hidden_dim, name='hq')(h_lig),
+        q = _heads(MLP(self.hidden_dim, self.hidden_dim, dtype=self.dtype, name='hq')(h_lig),
                    self.n_heads)
 
         scale = 1.0 / np.sqrt(k.shape[-1])
@@ -122,7 +124,7 @@ class NodeBondAttention(nn.Module):
         out = (alpha[..., None] * v).sum(axis=2)
         out = out.reshape(h_lig.shape[:-1] + (self.hidden_dim,))
         if self.out_fc:
-            out = MLP(self.hidden_dim, self.hidden_dim, name='node_output')(
+            out = MLP(self.hidden_dim, self.hidden_dim, dtype=self.dtype, name='node_output')(
                 jnp.concatenate([out, h_lig], axis=-1))
         return out
 
@@ -144,11 +146,12 @@ class BondTripletAttention(nn.Module):
     hidden_dim: int
     n_heads: int
     include_h_node: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, h_lig, h_bond, x_lig, bond_mask):
         B, Nl, H = h_lig.shape
-        dtype = h_lig.dtype
+        in_dtype = h_lig.dtype
 
         # pairwise distances and RBF (entry [i, j] = |x_i - x_j|)
         d = jnp.sqrt(jnp.maximum(pairwise_sqdist(x_lig, x_lig), 1e-12))
@@ -170,17 +173,17 @@ class BondTripletAttention(nn.Module):
             if self.include_h_node:
                 parts_kj.append(jnp.broadcast_to(
                     h_lig[:, None, :, :], (B, Nl, Nl, H)))        # h[k] at [j, k]
-            t_kj = nn.Dense(self.hidden_dim, use_bias=False,
+            t_kj = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                             name=f'{name}_kj')(
                 jnp.concatenate(parts_kj, axis=-1))               # [B, j, k, H]
             # term over (i, j): r_feat[i,j] (20)
-            t_ij = nn.Dense(self.hidden_dim, use_bias=False,
+            t_ij = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                             name=f'{name}_ij')(r_feat)            # [B, i, j, H]
             # term over j alone: h[j]
-            t_j = (nn.Dense(self.hidden_dim, use_bias=False, name=f'{name}_j')(
+            t_j = (nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name=f'{name}_j')(
                 h_lig) if self.include_h_node else 0.0)           # [B, j, H]
             # cubic term: angular code only (13 dims), with the layer bias
-            t_a = nn.Dense(self.hidden_dim, use_bias=True,
+            t_a = nn.Dense(self.hidden_dim, use_bias=True, dtype=self.dtype,
                            name=f'{name}_a')(a_feat)              # [B, i, j, k, H]
             pre = (t_a
                    + t_kj[:, None, :, :, :]                       # broadcast over i
@@ -190,9 +193,9 @@ class BondTripletAttention(nn.Module):
             return pre
 
         def mlp_tail(pre, name):
-            y = nn.LayerNorm(epsilon=1e-5, name=f'{name}_ln')(pre)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f'{name}_ln')(pre)
             y = nn.relu(y)
-            return nn.Dense(self.hidden_dim, name=f'{name}_out')(y)
+            return nn.Dense(self.hidden_dim, dtype=self.dtype, name=f'{name}_out')(y)
 
         k_t = _heads(mlp_tail(first_linear('hk'), 'hk'), self.n_heads)
         v_t = _heads(mlp_tail(first_linear('hv'), 'hv'), self.n_heads)
@@ -200,7 +203,7 @@ class BondTripletAttention(nn.Module):
         q_in = (jnp.concatenate([
             h_bond, jnp.broadcast_to(h_lig[:, :, None, :], h_bond.shape)],
             axis=-1) if self.include_h_node else h_bond)
-        q = _heads(MLP(self.hidden_dim, self.hidden_dim, name='hq')(q_in),
+        q = _heads(MLP(self.hidden_dim, self.hidden_dim, dtype=self.dtype, name='hq')(q_in),
                    self.n_heads)                                  # [B, i, j, heads, hd]
 
         scale = 1.0 / np.sqrt(k_t.shape[-1])
@@ -213,7 +216,7 @@ class BondTripletAttention(nn.Module):
                   & ~eye[None, :, None, :])                       # k != i
         alpha = masked_softmax(logits, t_mask[..., None], axis=3)
         out = (alpha[..., None] * v_t).sum(axis=3)                # [B, i, j, heads, hd]
-        return out.reshape(B, Nl, Nl, self.hidden_dim).astype(dtype)
+        return out.reshape(B, Nl, Nl, self.hidden_dim).astype(in_dtype)
 
 
 class PosEdgeAttention(nn.Module):
@@ -221,24 +224,25 @@ class PosEdgeAttention(nn.Module):
     (ref PosUpdateLayer, uni_transformer_edge.py:170-210)."""
     hidden_dim: int
     n_heads: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, h, rel_x, edge_feat, nbr_idx, nbr_mask, e_w=None):
         def fact_mlp(name, out_dim):
-            pre = (nn.Dense(self.hidden_dim, name=f'{name}_e')(edge_feat)
-                   + nn.Dense(self.hidden_dim, use_bias=False,
+            pre = (nn.Dense(self.hidden_dim, dtype=self.dtype, name=f'{name}_e')(edge_feat)
+                   + nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                               name=f'{name}_i')(h)[:, :, None, :]
-                   + gather_nodes(nn.Dense(self.hidden_dim, use_bias=False,
+                   + gather_nodes(nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                                            name=f'{name}_j')(h), nbr_idx))
-            y = nn.relu(nn.LayerNorm(epsilon=1e-5, name=f'{name}_ln')(pre))
-            return nn.Dense(out_dim, name=f'{name}_out')(y)
+            y = nn.relu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f'{name}_ln')(pre))
+            return nn.Dense(out_dim, dtype=self.dtype, name=f'{name}_out')(y)
 
         k = _heads(fact_mlp('xk', self.hidden_dim), self.n_heads)
         v = fact_mlp('xv', self.n_heads)                          # [B,N,K,heads]
         if e_w is not None:
             v = v * e_w
         v = v[..., None] * rel_x[..., None, :]                    # [B,N,K,heads,3]
-        q = _heads(MLP(self.hidden_dim, self.hidden_dim, name='xq')(h),
+        q = _heads(MLP(self.hidden_dim, self.hidden_dim, dtype=self.dtype, name='xq')(h),
                    self.n_heads)
 
         scale = 1.0 / np.sqrt(k.shape[-1])
@@ -253,22 +257,23 @@ class PosBondAttention(nn.Module):
     (ref PosUpdateLayer with bond edges, uni_transformer_edge.py:253-257,280-285)."""
     hidden_dim: int
     n_heads: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, h_lig, rel_x, h_bond, bond_mask):
         def fact_mlp(name, out_dim):
-            pre = (nn.Dense(self.hidden_dim, name=f'{name}_e')(h_bond)
-                   + nn.Dense(self.hidden_dim, use_bias=False,
+            pre = (nn.Dense(self.hidden_dim, dtype=self.dtype, name=f'{name}_e')(h_bond)
+                   + nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                               name=f'{name}_i')(h_lig)[:, :, None, :]
-                   + nn.Dense(self.hidden_dim, use_bias=False,
+                   + nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                               name=f'{name}_j')(h_lig)[:, None, :, :])
-            y = nn.relu(nn.LayerNorm(epsilon=1e-5, name=f'{name}_ln')(pre))
-            return nn.Dense(out_dim, name=f'{name}_out')(y)
+            y = nn.relu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f'{name}_ln')(pre))
+            return nn.Dense(out_dim, dtype=self.dtype, name=f'{name}_out')(y)
 
         k = _heads(fact_mlp('xk', self.hidden_dim), self.n_heads)
         v = fact_mlp('xv', self.n_heads)
         v = v[..., None] * rel_x[..., None, :]
-        q = _heads(MLP(self.hidden_dim, self.hidden_dim, name='xq')(h_lig),
+        q = _heads(MLP(self.hidden_dim, self.hidden_dim, dtype=self.dtype, name='xq')(h_lig),
                    self.n_heads)
 
         scale = 1.0 / np.sqrt(k.shape[-1])
@@ -286,6 +291,7 @@ class AttentionLayerBond(nn.Module):
     edge_feat_dim: int
     x2h_out_fc: bool
     include_h_node: bool
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, h, x, edge_type, nbr_idx, nbr_mask, h_bond, bond_mask,
@@ -300,9 +306,12 @@ class AttentionLayerBond(nn.Module):
         dist_feat = fixed_rbf(dist)
         dist_feat = outer_product(edge_type, dist_feat)
         edge_feat = jnp.concatenate([dist_feat, edge_type], axis=-1)
+        if self.dtype is not None:
+            edge_feat = edge_feat.astype(self.dtype)
 
         new_h_edge = NodeEdgeAttention(
             self.hidden_dim, self.n_heads, out_fc=self.x2h_out_fc,
+            dtype=self.dtype,
             name='node_layer_with_edge')(h, edge_feat, nbr_idx, nbr_mask, e_w)
 
         # ligand bond streams
@@ -310,24 +319,28 @@ class AttentionLayerBond(nn.Module):
         x_lig = x[:, Np:Np + Nl]
         new_h_bond_msg = NodeBondAttention(
             self.hidden_dim, self.n_heads, out_fc=self.x2h_out_fc,
+            dtype=self.dtype,
             name='node_layer_with_bond')(h_lig, h_bond, bond_mask)
         new_h_bond = h_bond + BondTripletAttention(
             self.hidden_dim, self.n_heads, include_h_node=self.include_h_node,
+            dtype=self.dtype,
             name='bond_layer')(h_lig, h_bond, x_lig, bond_mask)
 
         # scatter the bond-stream node update into the full context
         new_h_bond_full = jnp.zeros_like(new_h_edge).at[:, Np:Np + Nl].set(
             new_h_bond_msg)
-        new_h = h + nn.Dense(self.hidden_dim, name='lin_node')(
+        new_h = h + nn.Dense(self.hidden_dim, dtype=self.dtype, name='lin_node')(
             new_h_edge + new_h_bond_full)
 
         # coordinate updates (use the updated h; ref :280-285)
         dx_edge = PosEdgeAttention(
-            self.hidden_dim, self.n_heads, name='pos_layer_with_edge')(
+            self.hidden_dim, self.n_heads, dtype=self.dtype,
+            name='pos_layer_with_edge')(
             new_h, rel_x, edge_feat, nbr_idx, nbr_mask, e_w)
         rel_bond_x = x_lig[:, :, None, :] - x_lig[:, None, :, :]
         dx_bond = PosBondAttention(
-            self.hidden_dim, self.n_heads, name='pos_layer_with_bond')(
+            self.hidden_dim, self.n_heads, dtype=self.dtype,
+            name='pos_layer_with_bond')(
             new_h[:, Np:Np + Nl], rel_bond_x, new_h_bond, bond_mask)
         dx = dx_edge.at[:, Np:Np + Nl].add(dx_bond)
         x = x + dx * movable_mask[..., None].astype(x.dtype)
@@ -348,6 +361,7 @@ class UniTransformerBond(nn.Module):
     x2h_out_fc: bool = True
     include_h_node: bool = False
     remat: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, h, x, h_bond, mask_all, mask_ligand, movable_mask,
@@ -371,7 +385,8 @@ class UniTransformerBond(nn.Module):
 
         layers = [layer_cls(
             self.hidden_dim, self.n_heads, self.edge_feat_dim,
-            self.x2h_out_fc, self.include_h_node, name=f'layer_{i}')
+            self.x2h_out_fc, self.include_h_node, self.dtype,
+            name=f'layer_{i}')
             for i in range(self.num_layers)]
 
         for _ in range(self.num_blocks):
@@ -398,7 +413,7 @@ class UniTransformerBond(nn.Module):
             if self.use_global_ew:
                 xj = gather_nodes(x, nbr_idx)
                 dist = safe_norm(x[:, :, None, :] - xj, axis=-1)
-                logits = MLP(1, self.hidden_dim, name='edge_pred')(
+                logits = MLP(1, self.hidden_dim, dtype=self.dtype, name='edge_pred')(
                     fixed_rbf(dist))
                 e_w = jax.nn.sigmoid(logits)                      # [B, N, K, 1]
             else:

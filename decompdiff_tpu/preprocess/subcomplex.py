@@ -1,0 +1,137 @@
+"""Subcomplex extraction driver (L0).
+
+Behavioral parity with ref scripts/data_preparation/preprocess_subcomplex.py:
+AlphaSpace2 snapshot over receptor+binder -> contact pockets sorted by
+nonpolar space -> BRICS decomposition -> fragment->pocket assignment ->
+arm/scaffold split -> pocket residue extraction -> per-pair meta dict.
+
+AlphaSpace2/mdtraj/RDKit are gated imports (absent in this image); the
+geometric stages accept precomputed pocket alpha centers so the pipeline is
+testable without them.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import List, Optional
+
+import numpy as np
+
+from decompdiff_tpu.data.protein import PDBProtein
+from decompdiff_tpu.preprocess.decompose import DecomposeError, extract_submols
+from scipy.spatial import distance_matrix
+
+
+def extract_subpockets(protein: PDBProtein, centers, radius: float = 10.0):
+    """Pocket residues within `radius` of the given centers
+    (ref utils/preprocess.py:284-323, method 'v2'/'submol_radius')."""
+    return protein.query_residues_centers(centers, radius)
+
+
+def union_pocket_residues(all_pocket_residues):
+    """ref utils/preprocess.py:326-335."""
+    selected, seen = [], set()
+    for pocket_r in all_pocket_residues:
+        for r in pocket_r:
+            if r['chain_res_id'] not in seen:
+                selected.append(r)
+                seen.add(r['chain_res_id'])
+    return selected
+
+
+def mark_in_range(query_points, ref_points, cutoff: float = 1.6):
+    """ref utils/preprocess.py:338-343."""
+    query_points = np.asarray(query_points).reshape(-1, 3)
+    ref_points = np.asarray(ref_points).reshape(-1, 3)
+    idx = np.unique(np.where(
+        distance_matrix(query_points, ref_points) <= cutoff)[0])
+    out = np.zeros(len(query_points), bool)
+    out[idx] = True
+    return out
+
+
+def run_alphaspace(protein_path: str, ligand_path: str, top_n: int = 10):
+    """Contact pockets from an AlphaSpace2 snapshot, sorted by nonpolar space
+    (ref preprocess_subcomplex.py:80-97). Requires alphaspace2 + mdtraj."""
+    import alphaspace2 as al
+    import mdtraj
+
+    receptor = mdtraj.load(protein_path)
+    binder = mdtraj.load(ligand_path)
+    al.annotateVinaAtomTypes(pdbqt=None, receptor=receptor)
+    ss = al.Snapshot()
+    ss.run(receptor=receptor, binder=binder)
+    pockets = [p for p in ss.pockets if p.isContact]
+    pockets.sort(key=lambda p: p.nonpolar_space, reverse=True)
+    return pockets[:top_n], receptor
+
+
+def extract_subcomplex(protein_path: str, ligand_sdf_path: str,
+                       mol=None, pocket_alpha_centers=None,
+                       submol_radius: float = 10.0,
+                       out_dir: Optional[str] = None,
+                       name: str = 'subcomplex') -> dict:
+    """One protein-ligand pair -> decomposition meta dict
+    (ref preprocess_subcomplex.py:71-213).
+
+    Either pass an RDKit `mol` + `pocket_alpha_centers` (testable path), or
+    rely on RDKit/AlphaSpace2 to derive them from the file paths.
+    """
+    if mol is None:
+        from rdkit import Chem
+        mol = Chem.MolFromMolFile(ligand_sdf_path)
+        if mol is None:
+            raise DecomposeError(f'cannot parse {ligand_sdf_path}')
+    if pocket_alpha_centers is None:
+        pockets, _ = run_alphaspace(protein_path, ligand_sdf_path)
+        pocket_alpha_centers = [
+            np.stack([a.centroid for a in p.alphas]) for p in pockets]
+
+    protein = PDBProtein(protein_path)
+    centroids, assignment, all_submol_atom_idx, valid_pocket_id = \
+        extract_submols(mol, pocket_alpha_centers)
+
+    num_arms = len(all_submol_atom_idx) - 1
+    num_scaffold = 1 if len(all_submol_atom_idx[-1]) > 0 else 0
+    if num_scaffold == 0:
+        all_submol_atom_idx = all_submol_atom_idx[:-1] + [[]]
+        num_scaffold = 1  # keep the scaffold slot (may be empty)
+
+    pos = mol.GetConformer().GetPositions()
+    # per-arm pocket residues within submol_radius of the arm atoms (:128-137)
+    all_pocket_atom_serial, all_pocket_residues = [], []
+    for arm_atoms in all_submol_atom_idx[:-1]:
+        serial, residues = extract_subpockets(
+            protein, pos[arm_atoms], radius=submol_radius)
+        all_pocket_atom_serial.append(serial)
+        all_pocket_residues.append(residues)
+
+    union_residues = union_pocket_residues(all_pocket_residues)
+
+    meta = {
+        'protein_file': protein_path,
+        'ligand_file': ligand_sdf_path,
+        'num_arms': num_arms,
+        'num_scaffold': num_scaffold,
+        'all_submol_atom_idx': all_submol_atom_idx,
+        'all_pocket_atom_serial': all_pocket_atom_serial,
+        'frag_centroids': centroids,
+        'assignment': assignment,
+        'valid_pocket_id': valid_pocket_id,
+    }
+
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        pocket_pdb = os.path.join(out_dir, f'{name}_pocket.pdb')
+        with open(pocket_pdb, 'w') as f:
+            f.write(protein.residues_to_pdb_block(union_residues))
+        meta['pocket_file'] = pocket_pdb
+        for i, residues in enumerate(all_pocket_residues):
+            p = os.path.join(out_dir, f'{name}_pocket_arm{i}.pdb')
+            with open(p, 'w') as f:
+                f.write(protein.residues_to_pdb_block(residues,
+                                                      name=f'POCKET_{i}'))
+        with open(os.path.join(out_dir, f'{name}_meta.pkl'), 'wb') as f:
+            pickle.dump({'data': meta}, f)
+    return meta

@@ -16,8 +16,8 @@ def scan_time(cfg_over, B=8, Np=320, Nl=32, label='', length=30):
     x = batch.ligand_pos
     r = f(x); jax.block_until_ready(r)
     t0 = time.perf_counter(); r = f(x); jax.block_until_ready(r)
-    print(f'{label:45s} {(time.perf_counter()-t0)/length*1000:8.2f} ms/step', flush=True)
+    dt = (time.perf_counter()-t0)/length*1000
+    print(f'{label:45s} {dt:8.2f} ms/step ({dt/B:6.2f} ms/mol)', flush=True)
 
-scan_time({'model_type': 'uni_o2', 'bond_diffusion': False, 'ew_net_type': 'global'}, label='uni_o2 (edge stream only)')
-scan_time({'num_layers': 1}, label='full, 1 layer')
-scan_time({}, Nl=16, label='full, Nl=16')
+scan_time({'compute_dtype': 'bfloat16'}, label='full bf16 B8')
+scan_time({'compute_dtype': 'bfloat16'}, B=16, label='full bf16 B16')

@@ -1,0 +1,89 @@
+"""Decomposition algorithm tests (exact cover, terminal test, assignment) —
+the RDKit-free core of the L0 pipeline."""
+
+import numpy as np
+
+from decompdiff_tpu.preprocess.decompose import (
+    assign_fragments, crossing_bonds, find_exact_cover, is_terminal_fragment,
+    split_by_assignment)
+
+
+def test_exact_cover_simple():
+    # 6 atoms; type A matches {0,1,2} and {3,4,5}; type B matches {1,2,3}
+    groups = [
+        [(0, 1, 2), (3, 4, 5)],
+        [(1, 2, 3)],
+    ]
+    cover = find_exact_cover(groups, 6)
+    assert cover is not None
+    assert sorted(cover[0]) == [0, 1, 2, 3, 4, 5]
+    assert cover[1] == []
+
+
+def test_exact_cover_requires_both_types():
+    groups = [
+        [(0, 1), (4, 5)],
+        [(2, 3)],
+    ]
+    cover = find_exact_cover(groups, 6)
+    assert cover is not None
+    assert sorted(cover[0]) == [0, 1, 4, 5]
+    assert sorted(cover[1]) == [2, 3]
+
+
+def test_exact_cover_infeasible():
+    groups = [[(0, 1)], [(1, 2)]]
+    assert find_exact_cover(groups, 3) is None
+
+
+def test_terminal_fragment():
+    # chain 0-1-2-3-4
+    bonds = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    assert is_terminal_fragment(bonds, [0, 1])        # one crossing bond
+    assert is_terminal_fragment(bonds, [4])
+    assert not is_terminal_fragment(bonds, [2])       # two crossing bonds
+    assert is_terminal_fragment(bonds, [0, 1, 2, 3, 4])  # whole molecule
+    assert crossing_bonds(bonds, [2]) == [1, 2]
+
+
+def test_assignment_two_arms_one_scaffold():
+    # linear molecule: arm0 (frags 0) - scaffold (frag 1) - arm1 (frag 2)
+    frag_atoms = [[0, 1], [2, 3], [4, 5]]
+    bonds = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    centroids = np.array([[0, 0, 0], [5, 0, 0], [10, 0, 0]], float)
+    pockets = [np.array([[0, 1, 0]]), np.array([[10, 1, 0]])]
+    assignment, _ = assign_fragments(centroids, frag_atoms, bonds, pockets)
+    assert assignment[0] == 0
+    assert assignment[2] == 1
+    assert assignment[1] == 2  # scaffold label = num_pockets
+
+    parts, valid = split_by_assignment(assignment, frag_atoms, bonds, 2)
+    assert parts == [[0, 1], [4, 5], [2, 3]]
+    assert valid == [0, 1]
+
+
+def test_assignment_nonterminal_goes_to_scaffold():
+    # middle fragment is nearest to pocket 0 but not terminal -> scaffold
+    frag_atoms = [[0], [1], [2]]
+    bonds = [(0, 1), (1, 2)]
+    centroids = np.array([[0, 0, 0], [1, 0, 0], [8, 0, 0]], float)
+    pockets = [np.array([[0.5, 0, 0]]), np.array([[8, 0.5, 0]])]
+    assignment, _ = assign_fragments(centroids, frag_atoms, bonds, pockets)
+    # frag 1 is closest to pocket 0's cluster center but adding it to arm 0
+    # keeps the arm terminal only if the union has <= 1 crossing bond:
+    # atoms {0,1} crossing = 1 -> allowed
+    assert assignment[0] == 0 and assignment[2] == 1
+    parts, _ = split_by_assignment(assignment, frag_atoms, bonds, 2)
+    flat = sorted(a for p in parts for a in p)
+    assert flat == [0, 1, 2]
+
+
+def test_fewer_arms_than_pockets():
+    frag_atoms = [[0, 1, 2]]
+    bonds = [(0, 1), (1, 2)]
+    centroids = np.array([[0, 0, 0]], float)
+    pockets = [np.array([[0, 1, 0]]), np.array([[20, 0, 0]])]
+    assignment, cluster_pocket_idx = assign_fragments(
+        centroids, frag_atoms, bonds, pockets)
+    assert assignment[0] == 0
+    assert set(cluster_pocket_idx) == {0, 1}
