@@ -1,0 +1,181 @@
+"""Chemistry helpers (host, RDKit-gated).
+
+Role parity with ref utils/chem.py: rotatable-bond fragmentation, conformer
+generation, MMFF optimization (the engine behind the mmff_min guidance drift,
+ref utils/guidance_funcs.py:121-158), fused ring systems.
+`get_ring_systems` also works on MolRecords without RDKit.
+"""
+
+from __future__ import annotations
+
+from copy import deepcopy
+from typing import List, Tuple
+
+import numpy as np
+
+try:
+    from rdkit import Chem
+    from rdkit.Chem import AllChem, rdMolAlign
+    from rdkit.Chem.Lipinski import RotatableBondSmarts
+    HAS_RDKIT = True
+except Exception:
+    HAS_RDKIT = False
+
+
+def _require_rdkit():
+    if not HAS_RDKIT:
+        raise ImportError('RDKit is required for this chemistry helper')
+
+
+def break_rotatable_bond(mol, rotatable_bond=None):
+    """Fragment on rotatable bonds (ref utils/chem.py:12-23)."""
+    _require_rdkit()
+    if rotatable_bond is None:
+        pairs = mol.GetSubstructMatches(RotatableBondSmarts)
+        rotatable_bond = [mol.GetBondBetweenAtoms(a, b).GetIdx()
+                          for a, b in pairs]
+    if not rotatable_bond:
+        return [mol], []
+    f = Chem.FragmentOnBonds(mol, rotatable_bond)
+    return list(Chem.GetMolFrags(f, asMols=True)), rotatable_bond
+
+
+def get_num_rotatable_bonds(mol) -> int:
+    _require_rdkit()
+    return len(mol.GetSubstructMatches(RotatableBondSmarts))
+
+
+def compute_3d_coors(mol, random_seed: int = 0):
+    """Embed one conformer (ref utils/chem.py:32-40)."""
+    _require_rdkit()
+    mol = Chem.AddHs(mol)
+    if AllChem.EmbedMolecule(mol, randomSeed=random_seed) == -1:
+        return 0, 0
+    mol = Chem.RemoveHs(mol)
+    return mol.GetConformer(0).GetPositions(), 1
+
+
+def compute_3d_coors_multiple(mol, numConfs=20, maxIters=400, randomSeed=1):
+    """Multi-conformer embedding + MMFF ranking (ref utils/chem.py:43-60)."""
+    _require_rdkit()
+    mol = Chem.AddHs(mol, addCoords=True)
+    AllChem.EmbedMultipleConfs(mol, numConfs=numConfs, numThreads=0,
+                               randomSeed=randomSeed)
+    if mol.GetConformers() == ():
+        return None, [], 0
+    try:
+        result = AllChem.MMFFOptimizeMoleculeConfs(mol, maxIters=maxIters,
+                                                   numThreads=0)
+    except Exception:
+        return None, [], 0
+    mol = Chem.RemoveHs(mol)
+    result = [(r[0], r[1], i) for i, r in enumerate(result) if r[0] == 0]
+    if not result:
+        return None, [], 0
+    result.sort()
+    return mol, result, 1
+
+
+def get_rmsd(ref, pred, heavy_only=True) -> float:
+    _require_rdkit()
+    if heavy_only:
+        ref = Chem.RemoveHs(ref)
+        pred = Chem.RemoveHs(pred)
+    return rdMolAlign.GetBestRMS(pred, ref)
+
+
+def ff_optimize(ori_mol, addHs=False, enable_torsion=False):
+    """MMFF94s minimization; returns (energy_change, rmsd, mol) or (None,)
+    (ref utils/chem.py:71-107)."""
+    _require_rdkit()
+    mol = deepcopy(ori_mol)
+    Chem.GetSymmSSSR(mol)
+    if addHs:
+        mol = Chem.AddHs(mol, addCoords=True)
+    mp = AllChem.MMFFGetMoleculeProperties(mol, mmffVariant='MMFF94s')
+    if mp is None:
+        return (None,)
+    try:
+        ff = AllChem.MMFFGetMoleculeForceField(mol, mp)
+        energy_before = ff.CalcEnergy()
+        ff.Minimize()
+        energy_change = energy_before - ff.CalcEnergy()
+        Chem.SanitizeMol(ori_mol)
+        Chem.SanitizeMol(mol)
+        rmsd = rdMolAlign.GetBestRMS(ori_mol, mol)
+    except Exception:
+        return (None,)
+    mol = Chem.RemoveHs(mol)
+    return energy_change, rmsd, mol
+
+
+def get_ring_systems(mol, includeSpiro=False) -> Tuple[Tuple[int, ...], ...]:
+    """Fused ring systems (ref utils/chem.py:110-127). Accepts RDKit mols or
+    MolRecords (via the cycle-basis ring finder)."""
+    if HAS_RDKIT and not hasattr(mol, 'bond_index'):
+        ri = mol.GetRingInfo()
+        rings = ri.AtomRings()
+    else:
+        rings = _record_rings(mol)
+    systems: List[set] = []
+    for ring in rings:
+        ring_ats = set(ring)
+        n_systems = []
+        for system in systems:
+            common = len(ring_ats & system)
+            if common and (includeSpiro or common > 1):
+                ring_ats |= system
+            else:
+                n_systems.append(system)
+        n_systems.append(ring_ats)
+        systems = n_systems
+    return tuple(tuple(s) for s in systems)
+
+
+def _record_rings(mol) -> List[Tuple[int, ...]]:
+    """Fundamental cycles of a MolRecord's bond graph."""
+    from decompdiff_tpu.reconstruct.builder import _undirected_bonds
+    bonds = _undirected_bonds(mol.bond_index, mol.bond_type)
+    adj = {}
+    for (a, b) in bonds:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    parent, depth = {}, {}
+    tree = set()
+    for root in range(mol.num_atoms):
+        if root in parent or root not in adj:
+            continue
+        parent[root], depth[root] = root, 0
+        stack = [root]
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if v not in parent:
+                    parent[v], depth[v] = u, depth[u] + 1
+                    tree.add((min(u, v), max(u, v)))
+                    stack.append(v)
+    rings = []
+    for (a, b) in bonds:
+        if (a, b) in tree:
+            continue
+        path_a, path_b = [a], [b]
+        ua, ub = a, b
+        while ua != ub:
+            if depth[ua] >= depth[ub]:
+                ua = parent[ua]
+                path_a.append(ua)
+            else:
+                ub = parent[ub]
+                path_b.append(ub)
+        rings.append(tuple(path_a + path_b[-2::-1]))
+    return rings
+
+
+def num_x_mem_ring(mol, ring_sizes) -> List[int]:
+    """Counts of fused-ring systems by size (ref utils/chem.py:130-139)."""
+    counts = [0] * len(ring_sizes)
+    for ring_ats in get_ring_systems(mol):
+        size = len(ring_ats)
+        if size in ring_sizes:
+            counts[list(ring_sizes).index(size)] += 1
+    return counts
