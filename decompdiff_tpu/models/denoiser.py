@@ -140,6 +140,7 @@ class DecompDenoiser(nn.Module):
                 include_h_node=cfg.get('h_node_in_bond_net', False),
                 remat=cfg.get('remat', False),
                 dtype=compute_dtype,
+                use_pallas=cfg.get('use_pallas', False),
                 name='refine_net')
             outputs = refine(h_all, pos_all, h_bond, mask_all, mask_ligand,
                              movable, batch.bond_mask, num_protein=Np)

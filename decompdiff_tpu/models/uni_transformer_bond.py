@@ -147,6 +147,7 @@ class BondTripletAttention(nn.Module):
     n_heads: int
     include_h_node: bool = True
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h_lig, h_bond, x_lig, bond_mask):
@@ -162,52 +163,98 @@ class BondTripletAttention(nn.Module):
         dot = jnp.einsum('bijc,bikc->bijk', rel, rel)
         cross = jnp.cross(rel[:, :, :, None, :], rel[:, :, None, :, :])
         angle = jnp.arctan2(safe_norm(cross, axis=-1), dot)      # [B, i, j, k]
-        a_feat = angular_encoding(angle)                         # [B, i, j, k, 13]
 
-        # ---- factorized first projection of kv_input ----
-        # kv_input(i,j,k) = [h_bond[j,k], r_feat[j,k], r_feat[i,j], a_feat, h[k], h[j]]
-        # (ref uni_transformer_edge.py:148; include_h_node appends h_k, h_j)
-        def first_linear(name):
-            # term over (j, k): h_bond[j,k] (H) + r_feat[j,k] (20) + h[k] (H)
-            parts_kj = [h_bond, r_feat]
+        # ---- shared parameters of the two (k, v) triplet MLPs ----
+        # first linear of kv_input(i,j,k) = [h_bond[j,k], r_feat[j,k],
+        # r_feat[i,j], a_feat, h[k], h[j]] (ref uni_transformer_edge.py:148),
+        # factorized into (j,k) / (i,j) / j / angular blocks; the angular
+        # block + LN + second linear are raw params so the Pallas kernel can
+        # consume them directly.
+        init = nn.initializers.lecun_normal()
+        zeros, ones = nn.initializers.zeros, nn.initializers.ones
+
+        def branch_params(name):
+            return {
+                'wa': self.param(f'{name}_a_kernel', init, (13, H)),
+                'ba': self.param(f'{name}_a_bias', zeros, (H,)),
+                'lns': self.param(f'{name}_ln_scale', ones, (H,)),
+                'lnb': self.param(f'{name}_ln_bias', zeros, (H,)),
+                'wo': self.param(f'{name}_out_kernel', init, (H, H)),
+                'bo': self.param(f'{name}_out_bias', zeros, (H,)),
+            }
+
+        pk, pv = branch_params('hk'), branch_params('hv')
+
+        def quadratic_terms(name):
+            """(j,k) and (i,j) and j terms of the first linear (O(Nl^2))."""
+            parts_kj = [h_bond, r_feat.astype(h_bond.dtype)]
             if self.include_h_node:
                 parts_kj.append(jnp.broadcast_to(
                     h_lig[:, None, :, :], (B, Nl, Nl, H)))        # h[k] at [j, k]
             t_kj = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                             name=f'{name}_kj')(
                 jnp.concatenate(parts_kj, axis=-1))               # [B, j, k, H]
-            # term over (i, j): r_feat[i,j] (20)
             t_ij = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                             name=f'{name}_ij')(r_feat)            # [B, i, j, H]
-            # term over j alone: h[j]
-            t_j = (nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name=f'{name}_j')(
-                h_lig) if self.include_h_node else 0.0)           # [B, j, H]
-            # cubic term: angular code only (13 dims), with the layer bias
-            t_a = nn.Dense(self.hidden_dim, use_bias=True, dtype=self.dtype,
-                           name=f'{name}_a')(a_feat)              # [B, i, j, k, H]
-            pre = (t_a
-                   + t_kj[:, None, :, :, :]                       # broadcast over i
-                   + t_ij[:, :, :, None, :])                      # broadcast over k
             if self.include_h_node:
-                pre = pre + t_j[:, None, :, None, :]              # broadcast over i, k
-            return pre
+                t_kj = t_kj + nn.Dense(
+                    self.hidden_dim, use_bias=False, dtype=self.dtype,
+                    name=f'{name}_j')(h_lig)[:, :, None, :]       # h[j] at [j]
+            return t_kj, t_ij
 
-        def mlp_tail(pre, name):
-            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f'{name}_ln')(pre)
-            y = nn.relu(y)
-            return nn.Dense(self.hidden_dim, dtype=self.dtype, name=f'{name}_out')(y)
-
-        k_t = _heads(mlp_tail(first_linear('hk'), 'hk'), self.n_heads)
-        v_t = _heads(mlp_tail(first_linear('hv'), 'hv'), self.n_heads)
+        tkj_k, tij_k = quadratic_terms('hk')
+        tkj_v, tij_v = quadratic_terms('hv')
 
         q_in = (jnp.concatenate([
             h_bond, jnp.broadcast_to(h_lig[:, :, None, :], h_bond.shape)],
             axis=-1) if self.include_h_node else h_bond)
-        q = _heads(MLP(self.hidden_dim, self.hidden_dim, dtype=self.dtype, name='hq')(q_in),
-                   self.n_heads)                                  # [B, i, j, heads, hd]
+        q = MLP(self.hidden_dim, self.hidden_dim, dtype=self.dtype,
+                name='hq')(q_in)                                  # [B, i, j, H]
+
+        if self.use_pallas:
+            from decompdiff_tpu.ops.pallas.triplet_kernel import (
+                ANG_PAD, triplet_attention_pallas)
+
+            def prep(p, tkj):
+                wa = jnp.zeros((ANG_PAD, H), jnp.float32).at[:13].set(
+                    p['wa'].astype(jnp.float32))
+                return (wa, p['wo'].astype(jnp.float32),
+                        p['bo'][None].astype(jnp.float32),
+                        p['lns'][None].astype(jnp.float32),
+                        p['lnb'][None].astype(jnp.float32),
+                        (tkj + p['ba']).astype(jnp.float32))
+
+            wa_k, wo_k, bo_k, lns_k, lnb_k, tkj_k32 = prep(pk, tkj_k)
+            wa_v, wo_v, bo_v, lns_v, lnb_v, tkj_v32 = prep(pv, tkj_v)
+            out = triplet_attention_pallas(
+                angle.astype(jnp.float32),
+                tkj_k32, tij_k.astype(jnp.float32),
+                tkj_v32, tij_v.astype(jnp.float32),
+                q.astype(jnp.float32), bond_mask.astype(jnp.float32),
+                wa_k, wo_k, bo_k, lns_k, lnb_k,
+                wa_v, wo_v, bo_v, lns_v, lnb_v, n_heads=self.n_heads)
+            return out.astype(in_dtype)
+
+        # ---- dense XLA path ----
+        a_feat = angular_encoding(angle)                          # [B,i,j,k,13]
+        if self.dtype is not None:
+            a_feat = a_feat.astype(self.dtype)
+
+        def branch(p, t_kj, t_ij):
+            t_a = a_feat @ p['wa'].astype(a_feat.dtype) + p['ba']
+            pre = (t_a + t_kj[:, None, :, :, :] + t_ij[:, :, :, None, :])
+            mean = pre.mean(-1, keepdims=True)
+            var = ((pre - mean) ** 2).mean(-1, keepdims=True)
+            y = (pre - mean) * jax.lax.rsqrt(var + 1e-5) * p['lns'] + p['lnb']
+            y = nn.relu(y)
+            return y @ p['wo'].astype(y.dtype) + p['bo']
+
+        k_t = _heads(branch(pk, tkj_k, tij_k), self.n_heads)
+        v_t = _heads(branch(pv, tkj_v, tij_v), self.n_heads)
+        qh = _heads(q, self.n_heads)                              # [B,i,j,heads,hd]
 
         scale = 1.0 / np.sqrt(k_t.shape[-1])
-        logits = (q[:, :, :, None, :, :] * k_t).sum(-1) * scale   # [B, i, j, k, heads]
+        logits = (qh[:, :, :, None, :, :] * k_t).sum(-1) * scale  # [B,i,j,k,heads]
 
         # triplet valid: bond (j->i) real, bond (k->j) real, k != i
         eye = jnp.eye(Nl, dtype=bool)
@@ -215,7 +262,7 @@ class BondTripletAttention(nn.Module):
                   & bond_mask[:, None, :, :]                      # (k->j) at [j, k]
                   & ~eye[None, :, None, :])                       # k != i
         alpha = masked_softmax(logits, t_mask[..., None], axis=3)
-        out = (alpha[..., None] * v_t).sum(axis=3)                # [B, i, j, heads, hd]
+        out = (alpha[..., None] * v_t.astype(alpha.dtype)).sum(axis=3)
         return out.reshape(B, Nl, Nl, self.hidden_dim).astype(in_dtype)
 
 
@@ -292,6 +339,7 @@ class AttentionLayerBond(nn.Module):
     x2h_out_fc: bool
     include_h_node: bool
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h, x, edge_type, nbr_idx, nbr_mask, h_bond, bond_mask,
@@ -323,7 +371,7 @@ class AttentionLayerBond(nn.Module):
             name='node_layer_with_bond')(h_lig, h_bond, bond_mask)
         new_h_bond = h_bond + BondTripletAttention(
             self.hidden_dim, self.n_heads, include_h_node=self.include_h_node,
-            dtype=self.dtype,
+            dtype=self.dtype, use_pallas=self.use_pallas,
             name='bond_layer')(h_lig, h_bond, x_lig, bond_mask)
 
         # scatter the bond-stream node update into the full context
@@ -362,6 +410,7 @@ class UniTransformerBond(nn.Module):
     include_h_node: bool = False
     remat: bool = False
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h, x, h_bond, mask_all, mask_ligand, movable_mask,
@@ -386,7 +435,7 @@ class UniTransformerBond(nn.Module):
         layers = [layer_cls(
             self.hidden_dim, self.n_heads, self.edge_feat_dim,
             self.x2h_out_fc, self.include_h_node, self.dtype,
-            name=f'layer_{i}')
+            self.use_pallas, name=f'layer_{i}')
             for i in range(self.num_layers)]
 
         for _ in range(self.num_blocks):

@@ -1,7 +1,7 @@
 import time, numpy as np, jax, jax.numpy as jnp
 from decompdiff_tpu.models.diffusion_model import DecompDiffModel
 from decompdiff_tpu.utils.testing import DEFAULT_MODEL_CONFIG, random_complex_batch
-cfg = dict(DEFAULT_MODEL_CONFIG); cfg['compute_dtype'] = 'bfloat16'
+cfg = dict(DEFAULT_MODEL_CONFIG); cfg['use_pallas'] = True
 model = DecompDiffModel.create(cfg, num_classes=8)
 rng = np.random.default_rng(0)
 B, Np, Nl = 8, 320, 32
@@ -17,4 +17,4 @@ t0 = time.perf_counter(); r = f(x); jax.block_until_ready(r)
 print(f'compile+run {time.perf_counter()-t0:.0f}s', flush=True)
 t0 = time.perf_counter(); r = f(x); jax.block_until_ready(r)
 dt = (time.perf_counter()-t0)/30*1000
-print(f'full bf16 B8: {dt:.2f} ms/step ({dt/B:.2f} ms/mol)')
+print(f'full + pallas triplet B8: {dt:.2f} ms/step ({dt/B:.2f} ms/mol)')
