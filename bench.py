@@ -38,6 +38,7 @@ def main():
         DEFAULT_MODEL_CONFIG, random_complex_batch)
 
     cfg = dict(DEFAULT_MODEL_CONFIG)
+    cfg['use_pallas'] = True  # fused triplet-attention kernel
     model = DecompDiffModel.create(cfg, num_classes=8)
 
     rng = np.random.default_rng(0)

@@ -67,11 +67,10 @@ class DecompDenoiser(nn.Module):
         hidden_dim = cfg['hidden_dim']
         node_indicator = cfg.get('node_indicator', True)
         add_prior_node = cfg.get('add_prior_node', False)
-        if add_prior_node:
-            raise NotImplementedError(
-                'add_prior_node composition is not wired yet (released '
-                'config disables it; ref configs/training.yml:37)')
-        emb_dim = hidden_dim - 1 if node_indicator else hidden_dim
+        if node_indicator:
+            emb_dim = hidden_dim - (3 if add_prior_node else 1)
+        else:
+            emb_dim = hidden_dim
 
         Np = batch.num_protein_atoms
         Nl = batch.num_ligand_atoms
@@ -102,23 +101,63 @@ class DecompDenoiser(nn.Module):
             batch.protein_feat)
         h_ligand = nn.Dense(emb_dim, name='ligand_atom_emb')(lig_feat)
 
-        if node_indicator:
-            zeros = jnp.zeros(h_protein.shape[:-1] + (1,), h_protein.dtype)
-            ones = jnp.ones(h_ligand.shape[:-1] + (1,), h_ligand.dtype)
-            h_protein = jnp.concatenate([h_protein, zeros], axis=-1)
-            h_ligand = jnp.concatenate([h_ligand, ones], axis=-1)
+        # --- compose context (static concat [protein | ligand | prior];
+        # ref models/common.py:167-227) ---
+        group_idx = None
+        if add_prior_node:
+            # prior dummy nodes carry an RBF embedding of their std
+            # (ref models/decompdiff.py:162-163,241-250; the reference embeds
+            # linspace(0, 5, 20) RBFs of the std — we use the per-node mean
+            # std since stds are isotropic)
+            prior_std_feat = linspace_rbf(batch.prior_stds.mean(-1),
+                                          0.0, 5.0, 20)
+            h_prior = nn.Dense(emb_dim, name='prior_atom_emb')(prior_std_feat)
+            if node_indicator:
+                def ind(h, which):
+                    onehot = jnp.zeros(h.shape[:-1] + (3,), h.dtype)
+                    return jnp.concatenate(
+                        [h, onehot.at[..., which].set(1.0)], axis=-1)
+                h_protein, h_ligand, h_prior = (
+                    ind(h_protein, 0), ind(h_ligand, 1), ind(h_prior, 2))
+            h_all = jnp.concatenate([h_protein, h_ligand, h_prior], axis=1)
+            pos_all = jnp.concatenate(
+                [batch.protein_pos, ligand_pos, batch.prior_centers], axis=1)
+            mask_all = jnp.concatenate(
+                [batch.protein_mask, batch.ligand_mask, batch.prior_mask],
+                axis=1)
+            false_p = jnp.zeros_like(batch.protein_mask)
+            false_a = jnp.zeros_like(batch.prior_mask)
+            # prior dummies count as ligand for edge typing but never move
+            # (ref models/common.py:206-219)
+            mask_ligand = jnp.concatenate(
+                [false_p, batch.ligand_mask, batch.prior_mask], axis=1)
+            movable = jnp.concatenate(
+                [false_p, batch.update_mask(), false_a], axis=1)
+            A = batch.num_groups
+            group_idx = jnp.concatenate([
+                jnp.full(batch.protein_mask.shape, -1, jnp.int32),
+                batch.ligand_decomp_idx.astype(jnp.int32),
+                jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None],
+                                 batch.prior_mask.shape),
+            ], axis=1)
+        else:
+            if node_indicator:
+                zeros = jnp.zeros(h_protein.shape[:-1] + (1,), h_protein.dtype)
+                ones = jnp.ones(h_ligand.shape[:-1] + (1,), h_ligand.dtype)
+                h_protein = jnp.concatenate([h_protein, zeros], axis=-1)
+                h_ligand = jnp.concatenate([h_ligand, ones], axis=-1)
+            h_all = jnp.concatenate([h_protein, h_ligand], axis=1)
+            pos_all = jnp.concatenate([batch.protein_pos, ligand_pos], axis=1)
+            mask_all = jnp.concatenate(
+                [batch.protein_mask, batch.ligand_mask], axis=1)
+            false_p = jnp.zeros_like(batch.protein_mask)
+            mask_ligand = jnp.concatenate([false_p, batch.ligand_mask], axis=1)
+            movable = jnp.concatenate([false_p, batch.update_mask()], axis=1)
 
-        # --- compose context (static concat; ref models/common.py:167-194) ---
         compute_dtype = {'float32': None, None: None,
                          'bfloat16': jnp.bfloat16}[cfg.get('compute_dtype')]
-        h_all = jnp.concatenate([h_protein, h_ligand], axis=1)
         if compute_dtype is not None:
             h_all = h_all.astype(compute_dtype)
-        pos_all = jnp.concatenate([batch.protein_pos, ligand_pos], axis=1)
-        mask_all = jnp.concatenate([batch.protein_mask, batch.ligand_mask], axis=1)
-        false_p = jnp.zeros_like(batch.protein_mask)
-        mask_ligand = jnp.concatenate([false_p, batch.ligand_mask], axis=1)
-        movable = jnp.concatenate([false_p, batch.update_mask()], axis=1)
 
         # --- refine net (ref models/encoders/__init__.py:5-47) ---
         model_type = cfg.get('model_type', 'uni_o2_bond')
@@ -143,7 +182,8 @@ class DecompDenoiser(nn.Module):
                 use_pallas=cfg.get('use_pallas', False),
                 name='refine_net')
             outputs = refine(h_all, pos_all, h_bond, mask_all, mask_ligand,
-                             movable, batch.bond_mask, num_protein=Np)
+                             movable, batch.bond_mask, num_protein=Np,
+                             group_idx=group_idx)
         elif model_type == 'uni_o2':
             from decompdiff_tpu.models.uni_transformer import UniTransformerO2
             refine = UniTransformerO2(

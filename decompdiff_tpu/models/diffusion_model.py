@@ -19,6 +19,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from decompdiff_tpu.constants import ATOM_TYPES_PROB_BASIC, BOND_TYPES_PROB
 from decompdiff_tpu.data.batch import ComplexBatch
@@ -51,6 +52,29 @@ def sample_time_symmetric(rng, num_graphs: int, num_timesteps: int):
     t = jnp.concatenate([half, num_timesteps - half - 1])[:num_graphs]
     pt = jnp.full((num_graphs,), 1.0 / num_timesteps)
     return t, pt
+
+
+def sample_time(rng, num_graphs: int, num_timesteps: int,
+                method: str = 'symmetric', lt_history=None, lt_count=None):
+    """Timestep sampling (ref models/decompdiff.py:374-396).
+
+    'importance' draws t proportional to sqrt(E[L_t^2]) once every timestep
+    has >10 recorded losses, else falls back to symmetric. Note: the
+    reference registers Lt_history/Lt_count buffers but never writes them
+    (its compute_pos_Lt call is commented out at ref :506-507), so its
+    importance mode is always the symmetric fallback in practice; pass real
+    histories here to actually activate it.
+    """
+    if method == 'symmetric' or lt_history is None or lt_count is None or \
+            not bool((np.asarray(lt_count) > 10).all()):
+        return sample_time_symmetric(rng, num_graphs, num_timesteps)
+    if method != 'importance':
+        raise ValueError(method)
+    lt_sqrt = jnp.sqrt(jnp.asarray(lt_history) + 1e-10) + 1e-4
+    lt_sqrt = lt_sqrt.at[0].set(lt_sqrt[1])
+    pt_all = lt_sqrt / lt_sqrt.sum()
+    t = jax.random.choice(rng, num_timesteps, (num_graphs,), p=pt_all)
+    return t, pt_all[t]
 
 
 @dataclasses.dataclass(frozen=True, eq=False)  # identity hash -> usable as a

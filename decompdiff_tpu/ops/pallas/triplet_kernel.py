@@ -54,7 +54,7 @@ def _layer_norm(x, scale, bias, eps=1e-5):
 
 
 def _kernel(angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
-            q_ref, mask_ref,
+            q_ref, mask_ref, hsum_ref,
             wa_k_ref, wo_k_ref, bo_k_ref, lns_k_ref, lnb_k_ref,
             wa_v_ref, wo_v_ref, bo_v_ref, lns_v_ref, lnb_v_ref,
             out_ref, *, n_heads: int):
@@ -84,14 +84,20 @@ def _kernel(angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
     v_t = branch(tkj_v_ref, tij_v_ref, wa_v_ref, wo_v_ref, bo_v_ref,
                  lns_v_ref, lnb_v_ref)
 
-    q = q_ref[0, 0].reshape(Nl, n_heads, hd)               # [j, heads, hd]
-    kh = k_t.reshape(Nl, Nl, n_heads, hd)
+    # Head grouping without lane-splitting reshapes (unsupported in Mosaic):
+    # hsum [H, heads] has 1 where feature d belongs to head h, so
+    # (q*k) @ hsum sums within heads and alpha @ hsum.T expands per feature.
+    hsum = hsum_ref[:]                                     # [H, heads]
+    q = q_ref[0, 0]                                        # [j, H]
+    qk = q[:, None, :] * k_t                               # [j, k, H]
     scale = 1.0 / np.sqrt(hd)
-    logits = (q[:, None] * kh).sum(-1) * scale             # [j, k, heads]
+    logits = jnp.dot(qk.reshape(Nl * Nl, H), hsum,
+                     preferred_element_type=jnp.float32)
+    logits = logits.reshape(Nl, Nl, n_heads) * scale       # [j, k, heads]
 
     # triplet mask: bond (j->i) at mask[i, j], bond (k->j) at mask[j, k], k != i
     bm = mask_ref[0]                                       # [Nl, Nl] float
-    bm_i = jax.lax.dynamic_slice_in_dim(bm, i, 1, axis=0)[0]  # [Nl_j]
+    bm_i = mask_ref[0, pl.ds(i, 1), :][0]                  # [Nl_j] row i
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (Nl, Nl), 1)
     valid = (bm_i[:, None] * bm) * (k_ids != i).astype(jnp.float32)
     neg = jnp.float32(-1e30)
@@ -102,9 +108,11 @@ def _kernel(angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
     denom = jnp.maximum(e.sum(axis=1, keepdims=True), 1e-16)
     alpha = e / denom                                       # [j, k, heads]
 
-    vh = v_t.reshape(Nl, Nl, n_heads, hd)
-    out = (alpha[..., None] * vh).sum(axis=1)               # [j, heads, hd]
-    out_ref[0, 0] = out.reshape(Nl, H)
+    alpha_full = jnp.dot(alpha.reshape(Nl * Nl, n_heads), hsum.T,
+                         preferred_element_type=jnp.float32)
+    alpha_full = alpha_full.reshape(Nl, Nl, H)
+    out = (alpha_full * v_t).sum(axis=1)                    # [j, H]
+    out_ref[0, 0] = out
 
 
 @partial(jax.jit, static_argnames=('n_heads',))
@@ -124,6 +132,9 @@ def triplet_attention_pallas(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask,
     """
     B, Nl = angle.shape[0], angle.shape[1]
     H = tkj_k.shape[-1]
+    hd = H // n_heads
+    hsum = (jnp.arange(H)[:, None] // hd ==
+            jnp.arange(n_heads)[None, :]).astype(jnp.float32)  # [H, heads]
     grid = (B, Nl)
 
     def b_only(b, i):
@@ -149,6 +160,7 @@ def triplet_attention_pallas(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask,
             pl.BlockSpec((1, 1, Nl, H), bi, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Nl, Nl), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),     # bond_mask[b]
+            w_spec((H, n_heads)),                      # head-sum matrix
             w_spec((ANG_PAD, H)), w_spec((H, H)), w_spec((1, H)),
             w_spec((1, H)), w_spec((1, H)),
             w_spec((ANG_PAD, H)), w_spec((H, H)), w_spec((1, H)),
@@ -157,5 +169,5 @@ def triplet_attention_pallas(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask,
         out_specs=pl.BlockSpec((1, 1, Nl, H), bi, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Nl, Nl, H), jnp.float32),
         interpret=jax.default_backend() == 'cpu',
-    )(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask,
+    )(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask, hsum,
       wa_k, wo_k, bo_k, lns_k, lnb_k, wa_v, wo_v, bo_v, lns_v, lnb_v)
