@@ -49,45 +49,125 @@ def gather_nodes(h: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(B, nbr_idx.shape[1], nbr_idx.shape[2], F)
 
 
+def _build_edge_feat(edge_type, dist, dtype):
+    """edge_feat = outer(edge_type, RBF(dist)) ++ edge_type
+    (ref AttentionLayer :266-269)."""
+    dist_feat = fixed_rbf(dist)
+    ef = jnp.concatenate([outer_product(edge_type, dist_feat), edge_type],
+                         axis=-1)
+    return ef.astype(dtype) if dtype is not None else ef
+
+
+class _EdgeStreamParams:
+    """Raw parameter bundle for one factorized edge MLP (shared by the dense
+    XLA path and the fused Pallas kernel)."""
+
+    def __init__(self, module, name, feat_dim, hidden_dim, out_dim):
+        init = nn.initializers.lecun_normal()
+        zeros, ones = nn.initializers.zeros, nn.initializers.ones
+        self.we = module.param(f'{name}_e_kernel', init, (feat_dim, hidden_dim))
+        self.be = module.param(f'{name}_e_bias', zeros, (hidden_dim,))
+        self.lns = module.param(f'{name}_ln_scale', ones, (hidden_dim,))
+        self.lnb = module.param(f'{name}_ln_bias', zeros, (hidden_dim,))
+        self.wo = module.param(f'{name}_out_kernel', init, (hidden_dim, out_dim))
+        self.bo = module.param(f'{name}_out_bias', zeros, (out_dim,))
+
+
+def _dense_edge_branch(p, edge_feat, ti, tj, dtype):
+    """pre -> LN -> relu -> second linear, dense path."""
+    we = p.we.astype(edge_feat.dtype)
+    pre = edge_feat @ we + p.be + ti[:, :, None, :] + tj
+    mean = pre.mean(-1, keepdims=True)
+    var = ((pre - mean) ** 2).mean(-1, keepdims=True)
+    y = (pre - mean) * jax.lax.rsqrt(var + 1e-5) * p.lns + p.lnb
+    y = nn.relu(y)
+    return y @ p.wo.astype(y.dtype) + p.bo
+
+
+def _pallas_prep(p, pad_rows):
+    from decompdiff_tpu.ops.pallas.edge_kernel import EDGE_FEAT_PAD
+    we = jnp.zeros((EDGE_FEAT_PAD, p.we.shape[1]), jnp.float32)
+    we = we.at[:p.we.shape[0]].set(p.we.astype(jnp.float32))
+    return (we, p.wo.astype(jnp.float32), p.bo[None].astype(jnp.float32),
+            p.lns[None].astype(jnp.float32), p.lnb[None].astype(jnp.float32))
+
+
+def _pad4(x3):
+    """[..., 3] -> [..., 4] zero-padded coordinates."""
+    return jnp.concatenate([x3, jnp.zeros_like(x3[..., :1])], axis=-1)
+
+
 class NodeEdgeAttention(nn.Module):
     """Scalar-feature attention over [B, N, K] kNN edges
-    (ref NodeUpdateLayer, uni_transformer_edge.py:16-74)."""
+    (ref NodeUpdateLayer, uni_transformer_edge.py:16-74).
+
+    The kv first Linear over [edge_feat, h_dst, h_src] (ref :48-54) is
+    factorized exactly into a per-edge edge-feature term + per-node dst/src
+    terms; with use_pallas the whole per-edge pipeline runs fused in VMEM.
+    """
     hidden_dim: int
     n_heads: int
     out_fc: bool = True
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, h, edge_feat, nbr_idx, nbr_mask, e_w=None):
-        # Factorized kv projection: the reference's first Linear over the
-        # concatenated [edge_feat, h_dst, h_src] (ref :48-54) decomposes
-        # exactly into W_e@edge_feat (per edge) + W_i@h (per dst node) +
-        # W_j@h (per src node, gathered) — same function space, but the
-        # expensive per-edge matmul shrinks from (Fe+2H) -> Fe input dims.
-        def fact_mlp(name, out_dim):
-            pre = (nn.Dense(self.hidden_dim, dtype=self.dtype, name=f'{name}_e')(edge_feat)
-                   + nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
-                              name=f'{name}_i')(h)[:, :, None, :]
-                   + gather_nodes(nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
-                                           name=f'{name}_j')(h), nbr_idx))
-            y = nn.relu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f'{name}_ln')(pre))
-            return nn.Dense(out_dim, dtype=self.dtype, name=f'{name}_out')(y)
+    def __call__(self, h, rel_x, dist, edge_type, nbr_idx, nbr_mask,
+                 e_w=None):
+        H = self.hidden_dim
+        feat_dim = edge_type.shape[-1] * 21
+        pk = _EdgeStreamParams(self, 'hk', feat_dim, H, H)
+        pv = _EdgeStreamParams(self, 'hv', feat_dim, H, H)
 
-        k = _heads(fact_mlp('hk', self.hidden_dim), self.n_heads)
-        v = fact_mlp('hv', self.hidden_dim)
-        if e_w is not None:
-            v = v * e_w
-        v = _heads(v, self.n_heads)
-        q = _heads(MLP(self.hidden_dim, self.hidden_dim, dtype=self.dtype, name='hq')(h),
-                   self.n_heads)
+        def node_terms(name):
+            ti = nn.Dense(H, use_bias=False, dtype=self.dtype,
+                          name=f'{name}_i')(h)
+            tj = nn.Dense(H, use_bias=False, dtype=self.dtype,
+                          name=f'{name}_j')(h)
+            return ti, tj
 
-        scale = 1.0 / np.sqrt(k.shape[-1])
-        logits = (q[:, :, None, :, :] * k).sum(-1) * scale       # [B, N, K, heads]
-        alpha = masked_softmax(logits, nbr_mask[..., None], axis=2)
-        out = (alpha[..., None] * v).sum(axis=2)                 # [B, N, heads, hd]
-        out = out.reshape(h.shape[:-1] + (self.hidden_dim,))
+        ti_k, tj_k_tab = node_terms('hk')
+        ti_v, tj_v_tab = node_terms('hv')
+        q = MLP(H, H, dtype=self.dtype, name='hq')(h)
+
+        ew = (jnp.ones_like(nbr_mask, dtype=jnp.float32) if e_w is None
+              else e_w[..., 0])
+
+        if self.use_pallas:
+            from decompdiff_tpu.ops.pallas.edge_kernel import (
+                edge_attention_pallas)
+            out = edge_attention_pallas(
+                _pad4(jnp.zeros_like(rel_x[:, :, 0, :])),  # dst coords unused
+                _pad4(-rel_x.astype(jnp.float32)),         # xs = xd - rel
+                edge_type.astype(jnp.float32),
+                ew.astype(jnp.float32),
+                nbr_mask.astype(jnp.float32),
+                gather_nodes(tj_k_tab, nbr_idx).astype(jnp.float32),
+                (ti_k + pk.be).astype(jnp.float32),
+                gather_nodes(tj_v_tab, nbr_idx).astype(jnp.float32),
+                (ti_v + pv.be).astype(jnp.float32),
+                q.astype(jnp.float32),
+                *_pallas_prep(pk, feat_dim), *_pallas_prep(pv, feat_dim),
+                n_heads=self.n_heads, pos_mode=False)
+            out = out.astype(h.dtype)
+        else:
+            edge_feat = _build_edge_feat(edge_type, dist, self.dtype)
+            # fold the first-linear bias into ti so both paths share params
+            k = _dense_edge_branch(pk, edge_feat, ti_k,
+                                   gather_nodes(tj_k_tab, nbr_idx), self.dtype)
+            v = _dense_edge_branch(pv, edge_feat, ti_v,
+                                   gather_nodes(tj_v_tab, nbr_idx), self.dtype)
+            v = v * ew[..., None]
+            kh, vh = _heads(k, self.n_heads), _heads(v, self.n_heads)
+            qh = _heads(q, self.n_heads)
+            scale = 1.0 / np.sqrt(kh.shape[-1])
+            logits = (qh[:, :, None, :, :] * kh).sum(-1) * scale
+            alpha = masked_softmax(logits, nbr_mask[..., None], axis=2)
+            out = (alpha[..., None] * vh.astype(alpha.dtype)).sum(axis=2)
+            out = out.reshape(h.shape[:-1] + (H,)).astype(h.dtype)
+
         if self.out_fc:
-            out = MLP(self.hidden_dim, self.hidden_dim, dtype=self.dtype, name='node_output')(
+            out = MLP(H, H, dtype=self.dtype, name='node_output')(
                 jnp.concatenate([out, h], axis=-1))
         return out
 
@@ -272,28 +352,58 @@ class PosEdgeAttention(nn.Module):
     hidden_dim: int
     n_heads: int
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, h, rel_x, edge_feat, nbr_idx, nbr_mask, e_w=None):
-        def fact_mlp(name, out_dim):
-            pre = (nn.Dense(self.hidden_dim, dtype=self.dtype, name=f'{name}_e')(edge_feat)
-                   + nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
-                              name=f'{name}_i')(h)[:, :, None, :]
-                   + gather_nodes(nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
-                                           name=f'{name}_j')(h), nbr_idx))
-            y = nn.relu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f'{name}_ln')(pre))
-            return nn.Dense(out_dim, dtype=self.dtype, name=f'{name}_out')(y)
+    def __call__(self, h, rel_x, dist, edge_type, nbr_idx, nbr_mask,
+                 e_w=None):
+        H = self.hidden_dim
+        feat_dim = edge_type.shape[-1] * 21
+        pk = _EdgeStreamParams(self, 'xk', feat_dim, H, H)
+        pv = _EdgeStreamParams(self, 'xv', feat_dim, H, self.n_heads)
 
-        k = _heads(fact_mlp('xk', self.hidden_dim), self.n_heads)
-        v = fact_mlp('xv', self.n_heads)                          # [B,N,K,heads]
-        if e_w is not None:
-            v = v * e_w
-        v = v[..., None] * rel_x[..., None, :]                    # [B,N,K,heads,3]
-        q = _heads(MLP(self.hidden_dim, self.hidden_dim, dtype=self.dtype, name='xq')(h),
-                   self.n_heads)
+        def node_terms(name):
+            ti = nn.Dense(H, use_bias=False, dtype=self.dtype,
+                          name=f'{name}_i')(h)
+            tj = nn.Dense(H, use_bias=False, dtype=self.dtype,
+                          name=f'{name}_j')(h)
+            return ti, tj
 
-        scale = 1.0 / np.sqrt(k.shape[-1])
-        logits = (q[:, :, None, :, :] * k).sum(-1) * scale
+        ti_k, tj_k_tab = node_terms('xk')
+        ti_v, tj_v_tab = node_terms('xv')
+        q = MLP(H, H, dtype=self.dtype, name='xq')(h)
+        ew = (jnp.ones_like(nbr_mask, dtype=jnp.float32) if e_w is None
+              else e_w[..., 0])
+
+        if self.use_pallas:
+            from decompdiff_tpu.ops.pallas.edge_kernel import (
+                edge_attention_pallas)
+            dx = edge_attention_pallas(
+                _pad4(jnp.zeros_like(rel_x[:, :, 0, :])),
+                _pad4(-rel_x.astype(jnp.float32)),
+                edge_type.astype(jnp.float32),
+                ew.astype(jnp.float32),
+                nbr_mask.astype(jnp.float32),
+                gather_nodes(tj_k_tab, nbr_idx).astype(jnp.float32),
+                (ti_k + pk.be).astype(jnp.float32),
+                gather_nodes(tj_v_tab, nbr_idx).astype(jnp.float32),
+                (ti_v + pv.be).astype(jnp.float32),
+                q.astype(jnp.float32),
+                *_pallas_prep(pk, feat_dim), *_pallas_prep(pv, feat_dim),
+                n_heads=self.n_heads, pos_mode=True)
+            return dx[..., :3]
+
+        edge_feat = _build_edge_feat(edge_type, dist, self.dtype)
+        k = _dense_edge_branch(pk, edge_feat, ti_k,
+                               gather_nodes(tj_k_tab, nbr_idx), self.dtype)
+        v = _dense_edge_branch(pv, edge_feat, ti_v,
+                               gather_nodes(tj_v_tab, nbr_idx), self.dtype)
+        v = v * ew[..., None]
+        v = v[..., None].astype(jnp.float32) * rel_x[..., None, :]
+        kh = _heads(k, self.n_heads)
+        qh = _heads(q, self.n_heads)
+        scale = 1.0 / np.sqrt(kh.shape[-1])
+        logits = (qh[:, :, None, :, :] * kh).sum(-1) * scale
         alpha = masked_softmax(logits, nbr_mask[..., None], axis=2)
         out = (alpha[..., None] * v).sum(axis=2)                  # [B,N,heads,3]
         return out.mean(axis=2)                                   # [B,N,3]
@@ -351,16 +461,12 @@ class AttentionLayerBond(nn.Module):
         xj = gather_nodes(x, nbr_idx)
         rel_x = x[:, :, None, :] - xj                             # x_dst - x_src
         dist = safe_norm(rel_x, axis=-1)
-        dist_feat = fixed_rbf(dist)
-        dist_feat = outer_product(edge_type, dist_feat)
-        edge_feat = jnp.concatenate([dist_feat, edge_type], axis=-1)
-        if self.dtype is not None:
-            edge_feat = edge_feat.astype(self.dtype)
 
         new_h_edge = NodeEdgeAttention(
             self.hidden_dim, self.n_heads, out_fc=self.x2h_out_fc,
-            dtype=self.dtype,
-            name='node_layer_with_edge')(h, edge_feat, nbr_idx, nbr_mask, e_w)
+            dtype=self.dtype, use_pallas=self.use_pallas,
+            name='node_layer_with_edge')(
+            h, rel_x, dist, edge_type, nbr_idx, nbr_mask, e_w)
 
         # ligand bond streams
         h_lig = h[:, Np:Np + Nl]
@@ -383,8 +489,9 @@ class AttentionLayerBond(nn.Module):
         # coordinate updates (use the updated h; ref :280-285)
         dx_edge = PosEdgeAttention(
             self.hidden_dim, self.n_heads, dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name='pos_layer_with_edge')(
-            new_h, rel_x, edge_feat, nbr_idx, nbr_mask, e_w)
+            new_h, rel_x, dist, edge_type, nbr_idx, nbr_mask, e_w)
         rel_bond_x = x_lig[:, :, None, :] - x_lig[:, None, :, :]
         dx_bond = PosBondAttention(
             self.hidden_dim, self.n_heads, dtype=self.dtype,
