@@ -34,7 +34,7 @@ from decompdiff_tpu.models.common import FIXED_RBF_OFFSETS
 EDGE_FEAT_PAD = 128  # 4*20 outer + 4 type = 84, zero-padded
 
 
-def _edge_kernel(xd_ref, xs_ref, eattr_ref, ew_ref, mask_ref,
+def _edge_kernel(xd_ref, xs_ref, eattr_ref, ew_ref, mask_ref, offs_ref,
                  tjk_ref, tik_ref, tjv_ref, tiv_ref, q_ref, hsum_ref,
                  wek_ref, wok_ref, bok_ref, lnsk_ref, lnbk_ref,
                  wev_ref, wov_ref, bov_ref, lnsv_ref, lnbv_ref,
@@ -50,25 +50,30 @@ def _edge_kernel(xd_ref, xs_ref, eattr_ref, ew_ref, mask_ref,
     d2 = (rel * rel).sum(-1)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-24))         # [T, K]
 
-    # fixed-offset RBF columns (python-scalar offsets; coeff -0.5)
-    rbf_cols = [jnp.exp(-0.5 * (dist - float(o)) ** 2)
-                for o in FIXED_RBF_OFFSETS]         # 20 x [T, K]
+    # RBF against the 20 fixed offsets (passed as an input row vector)
+    dd = dist.reshape(T * K, 1) - offs_ref[0][None, :]   # [TK, R]
+    rbf = jnp.exp(-0.5 * dd * dd)                        # [TK, R]
     eattr = eattr_ref[0]                            # [T, K, F] one-hot attrs
     F = eattr.shape[-1]
-    # edge_feat = outer(edge_attr, rbf) ++ edge_attr  (F*20 + F), zero pad
-    attrs = [eattr[..., f] for f in range(F)]
-    cols = []
-    for a in attrs:
-        cols += [a * c for c in rbf_cols]
-    cols += attrs
-    cols += [jnp.zeros_like(dist)] * (EDGE_FEAT_PAD - len(cols))
-    ef = jnp.stack(cols, axis=-1).reshape(T * K, EDGE_FEAT_PAD)
+    R = rbf.shape[-1]
+    attrs = [eattr[..., f].reshape(T * K, 1) for f in range(F)]
+
+    def edge_first_linear(we_ref):
+        # ef @ We decomposed: sum_f attr_f * (rbf @ We[f*R:(f+1)*R])
+        #                   + sum_f attr_f * We[F*R + f]
+        pre = None
+        for f in range(F):
+            proj = jnp.dot(rbf, we_ref[f * R:(f + 1) * R, :],
+                           preferred_element_type=jnp.float32)   # [TK, H]
+            term = attrs[f] * (proj + we_ref[F * R + f, :][None, :])
+            pre = term if pre is None else pre + term
+        return pre
 
     def branch(we_ref, wo_ref, bo_ref, lns_ref, lnb_ref, tj_ref, ti_ref,
                out_dim):
-        pre = jnp.dot(ef, we_ref[:], preferred_element_type=jnp.float32)
+        pre = edge_first_linear(we_ref)
         pre = pre.reshape(T, K, H)
-        pre = pre + tj_ref[0] + ti_ref[0][:, None, :]
+        pre = pre + tj_ref[0].astype(jnp.float32) + ti_ref[0][:, None, :]
         mean = pre.mean(-1, keepdims=True)
         var = ((pre - mean) ** 2).mean(-1, keepdims=True)
         y = (pre - mean) * jax.lax.rsqrt(var + 1e-5) * lns_ref[0] + lnb_ref[0]
@@ -134,6 +139,7 @@ def edge_attention_pallas(x_pad, xj_pad, eattr, e_w, nbr_mask,
     B, N, K, H = tj_k.shape
     F = eattr.shape[-1]
     assert F * 21 <= EDGE_FEAT_PAD, F
+    offsets = jnp.asarray(np.asarray(FIXED_RBF_OFFSETS, np.float32))[None, :]
     if N % tile != 0:
         tile = min(tile, N)
         while N % tile != 0:
@@ -162,6 +168,7 @@ def edge_attention_pallas(x_pad, xj_pad, eattr, e_w, nbr_mask,
             pl.BlockSpec((1, tile, K, F), bt4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, K), bt3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, K), bt3, memory_space=pltpu.VMEM),
+            w_spec((1, len(FIXED_RBF_OFFSETS))),
             pl.BlockSpec((1, tile, K, H), bt4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, K, H), bt4, memory_space=pltpu.VMEM),
@@ -176,8 +183,10 @@ def edge_attention_pallas(x_pad, xj_pad, eattr, e_w, nbr_mask,
         out_specs=pl.BlockSpec((1, tile, out_dim), bt3,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, out_dim), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == 'cpu',
-    )(x_pad, xj_pad, eattr, e_w, nbr_mask, tj_k, ti_k, tj_v, ti_v, q,
+    )(x_pad, xj_pad, eattr, e_w, nbr_mask, offsets, tj_k, ti_k, tj_v, ti_v, q,
       (jnp.arange(H)[:, None] // (H // n_heads) ==
        jnp.arange(n_heads)[None, :]).astype(jnp.float32),
       we_k, wo_k, bo_k, lns_k, lnb_k, we_v, wo_v, bo_v, lns_v, lnb_v)
