@@ -1,0 +1,56 @@
+"""Convert a reference (PyTorch) checkpoint into this framework's format.
+
+Usage:
+    python scripts/convert_checkpoint.py REF.pt --out CONVERTED.ckpt
+
+The output is loadable by scripts/sample.py --ckpt; the embedded config is
+carried over so sampling reconstructs the same model hyperparameters
+(ref scripts/sample_diffusion_decomp.py:499-545 contract).
+"""
+
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('ref_ckpt')
+    parser.add_argument('--out', required=True)
+    args = parser.parse_args()
+
+    from decompdiff_tpu.utils.convert_checkpoint import (
+        convert_reference_state_dict, load_reference_checkpoint)
+
+    sd, model_cfg = load_reference_checkpoint(args.ref_ckpt)
+    params = convert_reference_state_dict(sd, model_cfg)
+
+    import torch
+    ref = torch.load(args.ref_ckpt, map_location='cpu', weights_only=False)
+    full_cfg = ref['config']
+    if not isinstance(full_cfg, dict):
+        full_cfg = {k: full_cfg[k] for k in full_cfg}
+
+    payload = {
+        'config': full_cfg,
+        'params': params,
+        'opt_state': None,
+        'step': int(ref.get('iteration', 0)),
+        'scheduler': {},
+        'iteration': int(ref.get('iteration', 0)),
+        'extra': {'converted_from': args.ref_ckpt},
+    }
+    with open(args.out, 'wb') as f:
+        pickle.dump(payload, f, protocol=4)
+    n = sum(np.asarray(x).size for x in
+            __import__('jax').tree.leaves(params))
+    print(f'converted {n / 1e6:.2f}M params -> {args.out}')
+
+
+if __name__ == '__main__':
+    main()
