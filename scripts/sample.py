@@ -48,6 +48,7 @@ def main():
     from decompdiff_tpu.data.mol import mol_to_sdf_block
     from decompdiff_tpu.data.store import DDStore
     from decompdiff_tpu.models.diffusion_model import DecompDiffModel
+    from decompdiff_tpu.parallel.mesh import make_mesh, shard_batch
     from decompdiff_tpu.priors.atom_num import NumAtomsSampler, load_num_config
     from decompdiff_tpu.priors.beta import substitute_with_beta_prior
     from decompdiff_tpu.reconstruct.builder import (
@@ -117,6 +118,10 @@ def main():
         records = init_types_host(
             rng_np, records, num_classes, model.bond_diff.num_classes)
         batch = collate(records)
+        # sampling is embarrassingly parallel across pockets/samples: shard
+        # the batch over all devices (SURVEY.md §5 distributed plan)
+        if jax.device_count() > 1 and n % jax.device_count() == 0:
+            batch = shard_batch(batch, make_mesh())
         if any(d['type'] == 'clash' for d in energy_drift):
             B = batch.batch_size
             full_protein = FullProtein(

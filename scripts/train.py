@@ -27,6 +27,8 @@ def main():
     parser.add_argument('--max_iters', type=int, default=None)
     parser.add_argument('--val_freq', type=int, default=None)
     parser.add_argument('--report_freq', type=int, default=200)
+    parser.add_argument('--profile_steps', type=int, default=0,
+                        help='capture a device trace over N steps (from step 10)')
     args = parser.parse_args()
 
     from decompdiff_tpu.utils.platform import apply_platform_env
@@ -46,6 +48,7 @@ def main():
         make_eval_step, make_train_step, set_learning_rate)
     from decompdiff_tpu.utils.checkpoint import (
         load_checkpoint, restore_train_state, save_checkpoint)
+    from decompdiff_tpu.utils.metrics_logger import MetricsLogger
     from decompdiff_tpu.utils.misc import (
         count_parameters, get_logger, get_new_log_dir, seed_all)
 
@@ -56,6 +59,7 @@ def main():
     os.makedirs(ckpt_dir, exist_ok=True)
     logger = get_logger('train', log_dir)
     save_config(config, os.path.join(log_dir, 'config.yml'))
+    metrics_logger = MetricsLogger(log_dir)
 
     # --- data ---
     store = DDStore(config.data.path)
@@ -141,6 +145,8 @@ def main():
         logger.info(f'[val {it}] ' + ' '.join(
             f'{k}={v:.4f}' for k, v in losses.items())
             + f' atom_auroc={atom_auroc:.4f} bond_auroc={bond_auroc:.4f}')
+        metrics_logger.log(it, 'val', {**losses, 'atom_auroc': atom_auroc,
+                                       'bond_auroc': bond_auroc})
         return losses['loss']
 
     max_iters = args.max_iters or config.train.max_iters
@@ -152,11 +158,21 @@ def main():
             if mesh:
                 batch = shard_batch(batch, mesh)
             rng, sub = jax.random.split(rng)
+            if args.profile_steps and it == 10:
+                jax.profiler.start_trace(os.path.join(log_dir, 'profile'))
             state, metrics = train_step(state, batch, sub)
+            if args.profile_steps and it == 10 + args.profile_steps:
+                jax.block_until_ready(metrics['loss'])
+                jax.profiler.stop_trace()
+                logger.info(f'device trace written to {log_dir}/profile')
             if it % args.report_freq == 0 or it == 1:
                 logger.info(f'[train {it}] ' + ' '.join(
                     f'{k}={float(v):.4f}' for k, v in metrics.items())
                     + f' lr={get_learning_rate(state.opt_state):.2e}')
+                metrics_logger.log(
+                    it, 'train',
+                    {**{k: float(v) for k, v in metrics.items()},
+                     'lr': get_learning_rate(state.opt_state)})
             if it % val_freq == 0 or it == max_iters:
                 val_loss = validate(it)
                 lr = get_learning_rate(state.opt_state)
