@@ -33,6 +33,8 @@ def main():
     parser.add_argument('--num_samples', type=int, default=None)
     parser.add_argument('--batch_size', type=int, default=8)
     parser.add_argument('--save_traj', action='store_true')
+    parser.add_argument('--use_pallas', action='store_true',
+                        help='enable the fused TPU kernels for sampling')
     args = parser.parse_args()
 
     from decompdiff_tpu.utils.platform import apply_platform_env
@@ -70,7 +72,10 @@ def main():
     train_config = Config(ckpt['config'])
     atom_mode = train_config.data.transform.get('ligand_atom_mode', 'basic')
     num_classes = atom_class_count(atom_mode)
-    model = DecompDiffModel.create(train_config.model.to_dict(), num_classes)
+    model_cfg = train_config.model.to_dict()
+    if args.use_pallas:
+        model_cfg['use_pallas'] = True
+    model = DecompDiffModel.create(model_cfg, num_classes)
     params = jax.tree.map(jnp.asarray, ckpt['params'])
 
     # data

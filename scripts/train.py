@@ -160,7 +160,13 @@ def main():
             rng, sub = jax.random.split(rng)
             if args.profile_steps and it == 10:
                 jax.profiler.start_trace(os.path.join(log_dir, 'profile'))
-            state, metrics = train_step(state, batch, sub)
+            try:
+                state, metrics = train_step(state, batch, sub)
+            except Exception as e:  # OOM catch-and-skip parity
+                if 'RESOURCE_EXHAUSTED' in str(e) or 'out of memory' in str(e).lower():
+                    logger.warning('| WARNING: ran out of memory, skipping batch')
+                    continue
+                raise
             if args.profile_steps and it == 10 + args.profile_steps:
                 jax.block_until_ready(metrics['loss'])
                 jax.profiler.stop_trace()
