@@ -180,6 +180,8 @@ class DecompDenoiser(nn.Module):
                 remat=cfg.get('remat', False),
                 dtype=compute_dtype,
                 use_pallas=cfg.get('use_pallas', False),
+                cutoff_mode=cfg.get('cutoff_mode', 'knn'),
+                r_max=cfg.get('r_max', 10.0),
                 name='refine_net')
             outputs = refine(h_all, pos_all, h_bond, mask_all, mask_ligand,
                              movable, batch.bond_mask, num_protein=Np,
@@ -199,6 +201,8 @@ class DecompDenoiser(nn.Module):
                 num_h2x=cfg.get('num_h2x', 1),
                 x2h_out_fc=cfg.get('x2h_out_fc', True),
                 sync_twoup=cfg.get('sync_twoup', False),
+                cutoff_mode=cfg.get('cutoff_mode', 'knn'),
+                r_max=cfg.get('r_max', 10.0),
                 name='refine_net')
             outputs = refine(h_all, pos_all, mask_all, mask_ligand, movable)
         else:

@@ -161,6 +161,8 @@ class UniTransformerO2(nn.Module):
     num_h2x: int = 1
     x2h_out_fc: bool = True
     sync_twoup: bool = False
+    cutoff_mode: str = 'knn'
+    r_max: float = 10.0
 
     @nn.compact
     def __call__(self, h, x, mask_all, mask_ligand, movable_mask,
@@ -173,6 +175,12 @@ class UniTransformerO2(nn.Module):
 
         for _ in range(self.num_blocks):
             nbr_idx, nbr_mask = knn_neighbors(x, mask_all, self.k)
+            if self.cutoff_mode == 'radius':
+                xj0 = gather_nodes(x, nbr_idx)
+                d0 = safe_norm(x[:, :, None, :] - xj0, axis=-1)
+                nbr_mask = nbr_mask & (d0 <= self.r_max)
+            elif self.cutoff_mode != 'knn':
+                raise NotImplementedError(self.cutoff_mode)
             lig_src = gather_nodes(
                 mask_ligand[..., None].astype(jnp.float32), nbr_idx)[..., 0] > 0.5
             lig_dst = mask_ligand[:, :, None]

@@ -518,6 +518,8 @@ class UniTransformerBond(nn.Module):
     remat: bool = False
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    cutoff_mode: str = 'knn'   # ['knn', 'radius'] — radius keeps the top-k
+    r_max: float = 10.0        # degree cap and masks edges beyond r_max
 
     @nn.compact
     def __call__(self, h, x, h_bond, mask_all, mask_ligand, movable_mask,
@@ -547,6 +549,18 @@ class UniTransformerBond(nn.Module):
 
         for _ in range(self.num_blocks):
             nbr_idx, nbr_mask = knn_neighbors(x, mask_all, self.k)
+            if self.cutoff_mode == 'radius':
+                # radius graph with an implicit max degree of k
+                # (ref _connect_edge, uni_transformer_edge.py:349-359)
+                xj0 = gather_nodes(x, nbr_idx)
+                d0 = safe_norm(x[:, :, None, :] - xj0, axis=-1)
+                nbr_mask = nbr_mask & (d0 <= self.r_max)
+            elif self.cutoff_mode != 'knn':
+                raise NotImplementedError(
+                    f'cutoff_mode {self.cutoff_mode!r}: the padded layout '
+                    "supports 'knn' and capped-degree 'radius'; the "
+                    "reference's 'hybrid' mode is not used by any released "
+                    'config')
 
             # 4-way ll/lp/pl/pp edge typing, src=j -> dst=i
             # (ref uni_transformer_edge.py:361-392)
