@@ -107,10 +107,15 @@ def main():
         start_iter = ckpt['iteration'] + 1
         logger.info(f'resumed from {args.resume} at iteration {start_iter}')
 
-    # dp mesh (all visible devices)
-    mesh = make_mesh() if jax.device_count() > 1 else None
-    if mesh:
-        logger.info(f'data-parallel over {jax.device_count()} devices')
+    # dp mesh (all visible devices); requires the batch to divide evenly
+    n_dev = jax.device_count()
+    mesh = None
+    if n_dev > 1 and batch_size % n_dev == 0:
+        mesh = make_mesh()
+        logger.info(f'data-parallel over {n_dev} devices')
+    elif n_dev > 1:
+        logger.info(f'{n_dev} devices but batch_size {batch_size} not '
+                    'divisible — running unsharded')
 
     train_step = make_train_step(model, tx, config.train)
     eval_step = make_eval_step(model, config.train)
