@@ -142,6 +142,7 @@ def main():
         v = np.asarray(out['v'])
         bond = np.asarray(out['bond'])
         mask = np.asarray(batch.ligand_mask)
+        traj = out.get('traj')
         for s in range(n):
             m = mask[s]
             pred_pos, pred_v = pos[s][m], v[s][m]
@@ -152,6 +153,14 @@ def main():
                 'decomp_mask': np.asarray(batch.ligand_decomp_idx[s])[m],
                 'mol': None, 'smiles': None, 'complete': False,
             }
+            if traj is not None:
+                # stacked scan outputs [T, B, ...] -> per-sample trajectories
+                # (ref sample_diffusion_decomp.py:366-414 unbatching)
+                entry['pos_traj'] = np.asarray(traj['pos'])[:, s][:, m]
+                entry['v_traj'] = np.asarray(traj['v'])[:, s][:, m]
+                if 'bond' in traj:
+                    entry['bond_traj'] = np.asarray(
+                        traj['bond'])[:, s][:, m][:, :, m]
             try:
                 mol = mol_record_from_prediction(
                     pred_pos, pred_v, pred_bond, atom_mode=atom_mode)
