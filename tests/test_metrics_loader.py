@@ -1,0 +1,70 @@
+"""AUROC metrics, bucketed loader, metrics logger, plateau wiring."""
+
+import os
+
+import numpy as np
+
+from decompdiff_tpu.training.loader import BucketedLoader
+from decompdiff_tpu.training.metrics import get_auroc, get_bond_auroc
+from decompdiff_tpu.utils.metrics_logger import MetricsLogger, ValidationLossTape
+from decompdiff_tpu.data.transforms import featurize_sample
+from tests.test_data_layer import _raw_sample
+
+
+def test_auroc_perfect_predictions():
+    y = np.array([0, 1, 2, 0, 1, 2, 0, 0])
+    probs = np.eye(3)[y] * 0.9 + 0.05
+    assert get_auroc(y, probs) > 0.99
+
+
+def test_auroc_random_predictions():
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 4, size=2000)
+    probs = rng.dirichlet(np.ones(4), size=2000)
+    assert abs(get_auroc(y, probs) - 0.5) < 0.05
+
+
+def test_bond_auroc_ignores_class_zero():
+    y = np.array([0, 0, 1, 2, 1, 2] * 10)
+    probs = np.eye(5)[y] * 0.8 + 0.04
+    assert get_bond_auroc(y, probs) > 0.99
+
+
+def test_bucketed_loader_batches(tmp_path):
+    rng = np.random.default_rng(0)
+    records = [featurize_sample(_raw_sample(rng, 30 + (i % 3), 9, 2))
+               for i in range(12)]
+
+    class ListDS:
+        def __len__(self):
+            return len(records)
+
+        def __getitem__(self, i):
+            return records[i]
+
+    loader = BucketedLoader(ListDS(), range(12), batch_size=4, shuffle=False,
+                            infinite=False)
+    batches = list(loader)
+    assert sum(b.batch_size for b in batches) == 12
+    for b in batches:
+        assert b.protein_pos.shape[1] == 128  # smallest bucket
+    loader.close()
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    ml = MetricsLogger(str(tmp_path), tensorboard=False)
+    ml.log(1, 'train', {'loss': 1.5})
+    ml.log(2, 'val', {'loss': 1.2, 'auroc': 0.8})
+    ml.close()
+    import json
+    lines = [json.loads(l) for l in
+             open(os.path.join(tmp_path, 'metrics.jsonl'))]
+    assert lines[0]['tag'] == 'train' and lines[0]['loss'] == 1.5
+    assert lines[1]['auroc'] == 0.8
+
+
+def test_validation_loss_tape():
+    tape = ValidationLossTape()
+    tape.update({'loss': 2.0}, weight=1)
+    tape.update({'loss': 4.0}, weight=3)
+    assert tape.averages()['loss'] == 3.5
