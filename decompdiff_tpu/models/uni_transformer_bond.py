@@ -84,11 +84,14 @@ def _dense_edge_branch(p, edge_feat, ti, tj, dtype):
     return y @ p.wo.astype(y.dtype) + p.bo
 
 
-def _pallas_prep(p, pad_rows):
+def _pallas_prep_we(p):
     from decompdiff_tpu.ops.pallas.edge_kernel import EDGE_FEAT_PAD
     we = jnp.zeros((EDGE_FEAT_PAD, p.we.shape[1]), jnp.float32)
-    we = we.at[:p.we.shape[0]].set(p.we.astype(jnp.float32))
-    return (we, p.wo.astype(jnp.float32), p.bo[None].astype(jnp.float32),
+    return we.at[:p.we.shape[0]].set(p.we.astype(jnp.float32))
+
+
+def _pallas_prep_rest(p):
+    return (p.wo.astype(jnp.float32), p.bo[None].astype(jnp.float32),
             p.lns[None].astype(jnp.float32), p.lnb[None].astype(jnp.float32))
 
 
@@ -118,16 +121,14 @@ class NodeEdgeAttention(nn.Module):
         feat_dim = edge_type.shape[-1] * 21
         pk = _EdgeStreamParams(self, 'hk', feat_dim, H, H)
         pv = _EdgeStreamParams(self, 'hv', feat_dim, H, H)
+        init = nn.initializers.lecun_normal()
+        wi_k = self.param('hk_i_kernel', init, (H, H))
+        wj_k = self.param('hk_j_kernel', init, (H, H))
+        wi_v = self.param('hv_i_kernel', init, (H, H))
+        wj_v = self.param('hv_j_kernel', init, (H, H))
 
-        def node_terms(name):
-            ti = nn.Dense(H, use_bias=False, dtype=self.dtype,
-                          name=f'{name}_i')(h)
-            tj = nn.Dense(H, use_bias=False, dtype=self.dtype,
-                          name=f'{name}_j')(h)
-            return ti, tj
-
-        ti_k, tj_k_tab = node_terms('hk')
-        ti_v, tj_v_tab = node_terms('hv')
+        ti_k = h @ wi_k.astype(h.dtype)
+        ti_v = h @ wi_v.astype(h.dtype)
         q = MLP(H, H, dtype=self.dtype, name='hq')(h)
 
         ew = (jnp.ones_like(nbr_mask, dtype=jnp.float32) if e_w is None
@@ -142,21 +143,25 @@ class NodeEdgeAttention(nn.Module):
                 edge_type.astype(jnp.float32),
                 ew.astype(jnp.float32),
                 nbr_mask.astype(jnp.float32),
-                gather_nodes(tj_k_tab, nbr_idx).astype(jnp.float32),
+                gather_nodes(h, nbr_idx).astype(jnp.float32),
                 (ti_k + pk.be).astype(jnp.float32),
-                gather_nodes(tj_v_tab, nbr_idx).astype(jnp.float32),
                 (ti_v + pv.be).astype(jnp.float32),
                 q.astype(jnp.float32),
-                *_pallas_prep(pk, feat_dim), *_pallas_prep(pv, feat_dim),
+                _pallas_prep_we(pk), wj_k.astype(jnp.float32),
+                *_pallas_prep_rest(pk),
+                _pallas_prep_we(pv), wj_v.astype(jnp.float32),
+                *_pallas_prep_rest(pv),
                 n_heads=self.n_heads, pos_mode=False)
             out = out.astype(h.dtype)
         else:
             edge_feat = _build_edge_feat(edge_type, dist, self.dtype)
             # fold the first-linear bias into ti so both paths share params
             k = _dense_edge_branch(pk, edge_feat, ti_k,
-                                   gather_nodes(tj_k_tab, nbr_idx), self.dtype)
+                                   gather_nodes(h @ wj_k.astype(h.dtype),
+                                                nbr_idx), self.dtype)
             v = _dense_edge_branch(pv, edge_feat, ti_v,
-                                   gather_nodes(tj_v_tab, nbr_idx), self.dtype)
+                                   gather_nodes(h @ wj_v.astype(h.dtype),
+                                                nbr_idx), self.dtype)
             v = v * ew[..., None]
             kh, vh = _heads(k, self.n_heads), _heads(v, self.n_heads)
             qh = _heads(q, self.n_heads)
@@ -361,16 +366,14 @@ class PosEdgeAttention(nn.Module):
         feat_dim = edge_type.shape[-1] * 21
         pk = _EdgeStreamParams(self, 'xk', feat_dim, H, H)
         pv = _EdgeStreamParams(self, 'xv', feat_dim, H, self.n_heads)
+        init = nn.initializers.lecun_normal()
+        wi_k = self.param('xk_i_kernel', init, (H, H))
+        wj_k = self.param('xk_j_kernel', init, (H, H))
+        wi_v = self.param('xv_i_kernel', init, (H, H))
+        wj_v = self.param('xv_j_kernel', init, (H, H))
 
-        def node_terms(name):
-            ti = nn.Dense(H, use_bias=False, dtype=self.dtype,
-                          name=f'{name}_i')(h)
-            tj = nn.Dense(H, use_bias=False, dtype=self.dtype,
-                          name=f'{name}_j')(h)
-            return ti, tj
-
-        ti_k, tj_k_tab = node_terms('xk')
-        ti_v, tj_v_tab = node_terms('xv')
+        ti_k = h @ wi_k.astype(h.dtype)
+        ti_v = h @ wi_v.astype(h.dtype)
         q = MLP(H, H, dtype=self.dtype, name='xq')(h)
         ew = (jnp.ones_like(nbr_mask, dtype=jnp.float32) if e_w is None
               else e_w[..., 0])
@@ -384,20 +387,24 @@ class PosEdgeAttention(nn.Module):
                 edge_type.astype(jnp.float32),
                 ew.astype(jnp.float32),
                 nbr_mask.astype(jnp.float32),
-                gather_nodes(tj_k_tab, nbr_idx).astype(jnp.float32),
+                gather_nodes(h, nbr_idx).astype(jnp.float32),
                 (ti_k + pk.be).astype(jnp.float32),
-                gather_nodes(tj_v_tab, nbr_idx).astype(jnp.float32),
                 (ti_v + pv.be).astype(jnp.float32),
                 q.astype(jnp.float32),
-                *_pallas_prep(pk, feat_dim), *_pallas_prep(pv, feat_dim),
+                _pallas_prep_we(pk), wj_k.astype(jnp.float32),
+                *_pallas_prep_rest(pk),
+                _pallas_prep_we(pv), wj_v.astype(jnp.float32),
+                *_pallas_prep_rest(pv),
                 n_heads=self.n_heads, pos_mode=True)
             return dx[..., :3]
 
         edge_feat = _build_edge_feat(edge_type, dist, self.dtype)
         k = _dense_edge_branch(pk, edge_feat, ti_k,
-                               gather_nodes(tj_k_tab, nbr_idx), self.dtype)
+                               gather_nodes(h @ wj_k.astype(h.dtype),
+                                            nbr_idx), self.dtype)
         v = _dense_edge_branch(pv, edge_feat, ti_v,
-                               gather_nodes(tj_v_tab, nbr_idx), self.dtype)
+                               gather_nodes(h @ wj_v.astype(h.dtype),
+                                            nbr_idx), self.dtype)
         v = v * ew[..., None]
         v = v[..., None].astype(jnp.float32) * rel_x[..., None, :]
         kh = _heads(k, self.n_heads)

@@ -35,16 +35,17 @@ EDGE_FEAT_PAD = 128  # 4*20 outer + 4 type = 84, zero-padded
 
 
 def _edge_kernel(xd_ref, xs_ref, eattr_ref, ew_ref, mask_ref, offs_ref,
-                 tjk_ref, tik_ref, tjv_ref, tiv_ref, q_ref, hsum_ref,
-                 wek_ref, wok_ref, bok_ref, lnsk_ref, lnbk_ref,
-                 wev_ref, wov_ref, bov_ref, lnsv_ref, lnbv_ref,
+                 hj_ref, tik_ref, tiv_ref, q_ref, hsum_ref,
+                 wek_ref, wjk_ref, wok_ref, bok_ref, lnsk_ref, lnbk_ref,
+                 wev_ref, wjv_ref, wov_ref, bov_ref, lnsv_ref, lnbv_ref,
                  out_ref, *, n_heads: int, pos_mode: bool):
-    # xd [1,T,4]; xs [1,T,K,4]; etype/ew/mask [1,T,K]
+    # xd [1,T,4]; xs [1,T,K,4]; etype/ew/mask [1,T,K]; hj [1,T,K,H]
     xd = xd_ref[0]                                  # [T, 4]
     xs = xs_ref[0]                                  # [T, K, 4]
     T, K, _ = xs.shape
-    H = tjk_ref.shape[-1]
+    H = hj_ref.shape[-1]
     hd = H // n_heads
+    hj = hj_ref[0].reshape(T * K, H)                # gathered raw h_src
 
     rel = xd[:, None, :] - xs                       # [T, K, 4] (4th comp 0)
     d2 = (rel * rel).sum(-1)
@@ -69,11 +70,14 @@ def _edge_kernel(xd_ref, xs_ref, eattr_ref, ew_ref, mask_ref, offs_ref,
             pre = term if pre is None else pre + term
         return pre
 
-    def branch(we_ref, wo_ref, bo_ref, lns_ref, lnb_ref, tj_ref, ti_ref,
+    def branch(we_ref, wj_ref, wo_ref, bo_ref, lns_ref, lnb_ref, ti_ref,
                out_dim):
+        # j-projection applied in-kernel: one raw-h gather feeds both nets
         pre = edge_first_linear(we_ref)
+        pre = pre + jnp.dot(hj, wj_ref[:],
+                            preferred_element_type=jnp.float32)
         pre = pre.reshape(T, K, H)
-        pre = pre + tj_ref[0].astype(jnp.float32) + ti_ref[0][:, None, :]
+        pre = pre + ti_ref[0][:, None, :]
         mean = pre.mean(-1, keepdims=True)
         var = ((pre - mean) ** 2).mean(-1, keepdims=True)
         y = (pre - mean) * jax.lax.rsqrt(var + 1e-5) * lns_ref[0] + lnb_ref[0]
@@ -82,11 +86,11 @@ def _edge_kernel(xd_ref, xs_ref, eattr_ref, ew_ref, mask_ref, offs_ref,
                     preferred_element_type=jnp.float32)
         return o.reshape(T, K, out_dim) + bo_ref[0]
 
-    k_t = branch(wek_ref, wok_ref, bok_ref, lnsk_ref, lnbk_ref,
-                 tjk_ref, tik_ref, H)
+    k_t = branch(wek_ref, wjk_ref, wok_ref, bok_ref, lnsk_ref, lnbk_ref,
+                 tik_ref, H)
     v_dim = n_heads if pos_mode else H
-    v_t = branch(wev_ref, wov_ref, bov_ref, lnsv_ref, lnbv_ref,
-                 tjv_ref, tiv_ref, v_dim)
+    v_t = branch(wev_ref, wjv_ref, wov_ref, bov_ref, lnsv_ref, lnbv_ref,
+                 tiv_ref, v_dim)
     v_t = v_t * ew_ref[0][..., None]
 
     hsum = hsum_ref[:]                               # [H, heads]
@@ -117,9 +121,9 @@ def _edge_kernel(xd_ref, xs_ref, eattr_ref, ew_ref, mask_ref, offs_ref,
 
 @partial(jax.jit, static_argnames=('n_heads', 'pos_mode', 'tile'))
 def edge_attention_pallas(x_pad, xj_pad, eattr, e_w, nbr_mask,
-                          tj_k, ti_k, tj_v, ti_v, q,
-                          we_k, wo_k, bo_k, lns_k, lnb_k,
-                          we_v, wo_v, bo_v, lns_v, lnb_v,
+                          hj, ti_k, ti_v, q,
+                          we_k, wj_k, wo_k, bo_k, lns_k, lnb_k,
+                          we_v, wj_v, wo_v, bo_v, lns_v, lnb_v,
                           *, n_heads: int, pos_mode: bool, tile: int = 64):
     """Args (all float32 unless noted):
         x_pad:   [B, N, 4] dst coords (4th component 0)
@@ -128,7 +132,8 @@ def edge_attention_pallas(x_pad, xj_pad, eattr, e_w, nbr_mask,
                  the same-decomp-group bit is on; F*21 <= 128)
         e_w:     [B, N, K] global edge weights (1.0 when disabled)
         nbr_mask:[B, N, K] valid-edge floats
-        tj_*:    [B, N, K, H] gathered src projections (k / v nets)
+        hj:      [B, N, K, H] gathered raw src features (one gather feeds
+                 both nets; j-projections run in-kernel via wj_*)
         ti_*:    [B, N, H] dst projections (include first-linear bias here)
         q:       [B, N, H] query projections
         we_*:    [128, H] padded edge-feature projection (84 rows used)
@@ -136,7 +141,7 @@ def edge_attention_pallas(x_pad, xj_pad, eattr, e_w, nbr_mask,
         bo_*/lns_*/lnb_*: [1, H] (bo_v [1, heads] in pos mode)
     Returns [B, N, H] (node mode) or [B, N, 4] dx (pos mode).
     """
-    B, N, K, H = tj_k.shape
+    B, N, K, H = hj.shape
     F = eattr.shape[-1]
     assert F * 21 <= EDGE_FEAT_PAD, F
     offsets = jnp.asarray(np.asarray(FIXED_RBF_OFFSETS, np.float32))[None, :]
@@ -171,13 +176,12 @@ def edge_attention_pallas(x_pad, xj_pad, eattr, e_w, nbr_mask,
             w_spec((1, len(FIXED_RBF_OFFSETS))),
             pl.BlockSpec((1, tile, K, H), bt4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, K, H), bt4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
             w_spec((H, n_heads)),
-            w_spec((EDGE_FEAT_PAD, H)), w_spec((H, H)), w_spec((1, H)),
-            w_spec((1, H)), w_spec((1, H)),
-            w_spec((EDGE_FEAT_PAD, H)), w_spec((H, v_out)),
+            w_spec((EDGE_FEAT_PAD, H)), w_spec((H, H)), w_spec((H, H)),
+            w_spec((1, H)), w_spec((1, H)), w_spec((1, H)),
+            w_spec((EDGE_FEAT_PAD, H)), w_spec((H, H)), w_spec((H, v_out)),
             w_spec((1, v_out)), w_spec((1, H)), w_spec((1, H)),
         ],
         out_specs=pl.BlockSpec((1, tile, out_dim), bt3,
@@ -186,7 +190,8 @@ def edge_attention_pallas(x_pad, xj_pad, eattr, e_w, nbr_mask,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == 'cpu',
-    )(x_pad, xj_pad, eattr, e_w, nbr_mask, offsets, tj_k, ti_k, tj_v, ti_v, q,
+    )(x_pad, xj_pad, eattr, e_w, nbr_mask, offsets, hj, ti_k, ti_v, q,
       (jnp.arange(H)[:, None] // (H // n_heads) ==
        jnp.arange(n_heads)[None, :]).astype(jnp.float32),
-      we_k, wo_k, bo_k, lns_k, lnb_k, we_v, wo_v, bo_v, lns_v, lnb_v)
+      we_k, wj_k, wo_k, bo_k, lns_k, lnb_k,
+      we_v, wj_v, wo_v, bo_v, lns_v, lnb_v)

@@ -54,8 +54,8 @@ def _split_edge_kv(sd, prefix, name, feat_dim, hidden):
     out = {
         f'{name}_e_kernel': w0[:, :feat_dim].T,
         f'{name}_e_bias': np.asarray(sd[f'{prefix}.net.0.bias'], np.float32),
-        f'{name}_i': {'kernel': w0[:, feat_dim:feat_dim + hidden].T},
-        f'{name}_j': {'kernel': w0[:, feat_dim + hidden:].T},
+        f'{name}_i_kernel': w0[:, feat_dim:feat_dim + hidden].T,
+        f'{name}_j_kernel': w0[:, feat_dim + hidden:].T,
         f'{name}_ln_scale': np.asarray(sd[f'{prefix}.net.1.weight'], np.float32),
         f'{name}_ln_bias': np.asarray(sd[f'{prefix}.net.1.bias'], np.float32),
         f'{name}_out_kernel': _t(sd[f'{prefix}.net.3.weight']),

@@ -104,8 +104,8 @@ def test_edge_split_reproduces_joint_linear(converted):
     hi = rng.normal(size=(H,))
     hj = rng.normal(size=(H,))
     joint = w0 @ np.concatenate([ef, hi, hj])
-    split = (ef @ p['hk_e_kernel'] + hi @ p['hk_i']['kernel']
-             + hj @ p['hk_j']['kernel'])
+    split = (ef @ p['hk_e_kernel'] + hi @ p['hk_i_kernel']
+             + hj @ p['hk_j_kernel'])
     np.testing.assert_allclose(split, joint, rtol=1e-5)
 
 
