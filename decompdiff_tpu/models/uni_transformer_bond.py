@@ -84,6 +84,42 @@ def _dense_edge_branch(p, edge_feat, ti, tj, dtype):
     return y @ p.wo.astype(y.dtype) + p.bo
 
 
+class _BondStreamParams:
+    """Raw params for one bond-stream MLP (h_bond/e + h_i + h_j first linear,
+    LN, second linear); shared by the dense and fused paths."""
+
+    def __init__(self, module, name, hidden_dim, out_dim):
+        init = nn.initializers.lecun_normal()
+        zeros, ones = nn.initializers.zeros, nn.initializers.ones
+        self.we = module.param(f'{name}_e_kernel', init, (hidden_dim, hidden_dim))
+        self.be = module.param(f'{name}_e_bias', zeros, (hidden_dim,))
+        self.wi = module.param(f'{name}_i_kernel', init, (hidden_dim, hidden_dim))
+        self.wj = module.param(f'{name}_j_kernel', init, (hidden_dim, hidden_dim))
+        self.lns = module.param(f'{name}_ln_scale', ones, (hidden_dim,))
+        self.lnb = module.param(f'{name}_ln_bias', zeros, (hidden_dim,))
+        self.wo = module.param(f'{name}_out_kernel', init, (hidden_dim, out_dim))
+        self.bo = module.param(f'{name}_out_bias', zeros, (out_dim,))
+
+    def flat(self):
+        f32 = jnp.float32
+        return (self.we.astype(f32), self.wi.astype(f32), self.wj.astype(f32),
+                self.wo.astype(f32), self.bo[None].astype(f32),
+                self.be[None].astype(f32), self.lns[None].astype(f32),
+                self.lnb[None].astype(f32))
+
+
+def _dense_bond_branch(p, h_bond, h_lig, dtype):
+    we = p.we.astype(h_bond.dtype)
+    pre = (h_bond @ we + p.be
+           + (h_lig @ p.wi.astype(h_lig.dtype))[:, :, None, :]
+           + (h_lig @ p.wj.astype(h_lig.dtype))[:, None, :, :])
+    mean = pre.mean(-1, keepdims=True)
+    var = ((pre - mean) ** 2).mean(-1, keepdims=True)
+    y = (pre - mean) * jax.lax.rsqrt(var + 1e-5) * p.lns + p.lnb
+    y = nn.relu(y)
+    return y @ p.wo.astype(y.dtype) + p.bo
+
+
 def _pallas_prep_we(p):
     from decompdiff_tpu.ops.pallas.edge_kernel import EDGE_FEAT_PAD
     we = jnp.zeros((EDGE_FEAT_PAD, p.we.shape[1]), jnp.float32)
@@ -186,30 +222,38 @@ class NodeBondAttention(nn.Module):
     out_fc: bool = True
     dtype: Optional[jnp.dtype] = None
 
+    use_pallas: bool = False
+
     @nn.compact
     def __call__(self, h_lig, h_bond, bond_mask):
         # h_bond [B, Nl(i), Nl(j), H]; dst = i, src = j
-        def fact_mlp(name, out_dim):
-            pre = (nn.Dense(self.hidden_dim, dtype=self.dtype, name=f'{name}_e')(h_bond)
-                   + nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
-                              name=f'{name}_i')(h_lig)[:, :, None, :]
-                   + nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
-                              name=f'{name}_j')(h_lig)[:, None, :, :])
-            y = nn.relu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f'{name}_ln')(pre))
-            return nn.Dense(out_dim, dtype=self.dtype, name=f'{name}_out')(y)
+        H = self.hidden_dim
+        pk = _BondStreamParams(self, 'hk', H, H)
+        pv = _BondStreamParams(self, 'hv', H, H)
+        q = MLP(H, H, dtype=self.dtype, name='hq')(h_lig)
 
-        k = _heads(fact_mlp('hk', self.hidden_dim), self.n_heads)
-        v = _heads(fact_mlp('hv', self.hidden_dim), self.n_heads)
-        q = _heads(MLP(self.hidden_dim, self.hidden_dim, dtype=self.dtype, name='hq')(h_lig),
-                   self.n_heads)
-
-        scale = 1.0 / np.sqrt(k.shape[-1])
-        logits = (q[:, :, None, :, :] * k).sum(-1) * scale       # [B, Nl, Nl, heads]
-        alpha = masked_softmax(logits, bond_mask[..., None], axis=2)
-        out = (alpha[..., None] * v).sum(axis=2)
-        out = out.reshape(h_lig.shape[:-1] + (self.hidden_dim,))
+        if self.use_pallas:
+            from decompdiff_tpu.ops.pallas.bond_kernel import (
+                bond_attention_pallas)
+            rel_dummy = jnp.zeros(h_bond.shape[:-1] + (4,), jnp.float32)
+            out = bond_attention_pallas(
+                h_bond.astype(jnp.float32), h_lig.astype(jnp.float32),
+                rel_dummy, q.astype(jnp.float32),
+                bond_mask.astype(jnp.float32),
+                *pk.flat(), *pv.flat(),
+                n_heads=self.n_heads, pos_mode=False).astype(h_lig.dtype)
+        else:
+            k = _dense_bond_branch(pk, h_bond, h_lig, self.dtype)
+            v = _dense_bond_branch(pv, h_bond, h_lig, self.dtype)
+            kh, vh = _heads(k, self.n_heads), _heads(v, self.n_heads)
+            qh = _heads(q, self.n_heads)
+            scale = 1.0 / np.sqrt(kh.shape[-1])
+            logits = (qh[:, :, None, :, :] * kh).sum(-1) * scale
+            alpha = masked_softmax(logits, bond_mask[..., None], axis=2)
+            out = (alpha[..., None] * vh.astype(alpha.dtype)).sum(axis=2)
+            out = out.reshape(h_lig.shape[:-1] + (H,)).astype(h_lig.dtype)
         if self.out_fc:
-            out = MLP(self.hidden_dim, self.hidden_dim, dtype=self.dtype, name='node_output')(
+            out = MLP(H, H, dtype=self.dtype, name='node_output')(
                 jnp.concatenate([out, h_lig], axis=-1))
         return out
 
@@ -423,25 +467,34 @@ class PosBondAttention(nn.Module):
     n_heads: int
     dtype: Optional[jnp.dtype] = None
 
+    use_pallas: bool = False
+
     @nn.compact
     def __call__(self, h_lig, rel_x, h_bond, bond_mask):
-        def fact_mlp(name, out_dim):
-            pre = (nn.Dense(self.hidden_dim, dtype=self.dtype, name=f'{name}_e')(h_bond)
-                   + nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
-                              name=f'{name}_i')(h_lig)[:, :, None, :]
-                   + nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
-                              name=f'{name}_j')(h_lig)[:, None, :, :])
-            y = nn.relu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f'{name}_ln')(pre))
-            return nn.Dense(out_dim, dtype=self.dtype, name=f'{name}_out')(y)
+        H = self.hidden_dim
+        pk = _BondStreamParams(self, 'xk', H, H)
+        pv = _BondStreamParams(self, 'xv', H, self.n_heads)
+        q = MLP(H, H, dtype=self.dtype, name='xq')(h_lig)
 
-        k = _heads(fact_mlp('xk', self.hidden_dim), self.n_heads)
-        v = fact_mlp('xv', self.n_heads)
-        v = v[..., None] * rel_x[..., None, :]
-        q = _heads(MLP(self.hidden_dim, self.hidden_dim, dtype=self.dtype, name='xq')(h_lig),
-                   self.n_heads)
+        if self.use_pallas:
+            from decompdiff_tpu.ops.pallas.bond_kernel import (
+                bond_attention_pallas)
+            rel_pad = _pad4(rel_x.astype(jnp.float32))
+            dx = bond_attention_pallas(
+                h_bond.astype(jnp.float32), h_lig.astype(jnp.float32),
+                rel_pad, q.astype(jnp.float32),
+                bond_mask.astype(jnp.float32),
+                *pk.flat(), *pv.flat(),
+                n_heads=self.n_heads, pos_mode=True)
+            return dx[..., :3]
 
-        scale = 1.0 / np.sqrt(k.shape[-1])
-        logits = (q[:, :, None, :, :] * k).sum(-1) * scale
+        k = _dense_bond_branch(pk, h_bond, h_lig, self.dtype)
+        v = _dense_bond_branch(pv, h_bond, h_lig, self.dtype)
+        v = v[..., None].astype(jnp.float32) * rel_x[..., None, :]
+        kh = _heads(k, self.n_heads)
+        qh = _heads(q, self.n_heads)
+        scale = 1.0 / np.sqrt(kh.shape[-1])
+        logits = (qh[:, :, None, :, :] * kh).sum(-1) * scale
         alpha = masked_softmax(logits, bond_mask[..., None], axis=2)
         out = (alpha[..., None] * v).sum(axis=2)
         return out.mean(axis=2)
@@ -480,7 +533,7 @@ class AttentionLayerBond(nn.Module):
         x_lig = x[:, Np:Np + Nl]
         new_h_bond_msg = NodeBondAttention(
             self.hidden_dim, self.n_heads, out_fc=self.x2h_out_fc,
-            dtype=self.dtype,
+            dtype=self.dtype, use_pallas=self.use_pallas,
             name='node_layer_with_bond')(h_lig, h_bond, bond_mask)
         new_h_bond = h_bond + BondTripletAttention(
             self.hidden_dim, self.n_heads, include_h_node=self.include_h_node,
@@ -502,6 +555,7 @@ class AttentionLayerBond(nn.Module):
         rel_bond_x = x_lig[:, :, None, :] - x_lig[:, None, :, :]
         dx_bond = PosBondAttention(
             self.hidden_dim, self.n_heads, dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name='pos_layer_with_bond')(
             new_h[:, Np:Np + Nl], rel_bond_x, new_h_bond, bond_mask)
         dx = dx_edge.at[:, Np:Np + Nl].add(dx_bond)

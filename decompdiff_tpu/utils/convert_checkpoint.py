@@ -91,6 +91,21 @@ def _split_bond_kv(sd, prefix, name, hidden, include_h_node, rbf=20, ang=13):
     return out
 
 
+def _split_dense_bond_kv(sd, prefix, name, hidden):
+    """Bond-stream kv MLP over [h_bond, h_i, h_j] -> raw param blocks."""
+    w0 = np.asarray(sd[f'{prefix}.net.0.weight'], np.float32)
+    return {
+        f'{name}_e_kernel': w0[:, :hidden].T,
+        f'{name}_e_bias': np.asarray(sd[f'{prefix}.net.0.bias'], np.float32),
+        f'{name}_i_kernel': w0[:, hidden:2 * hidden].T,
+        f'{name}_j_kernel': w0[:, 2 * hidden:].T,
+        f'{name}_ln_scale': np.asarray(sd[f'{prefix}.net.1.weight'], np.float32),
+        f'{name}_ln_bias': np.asarray(sd[f'{prefix}.net.1.bias'], np.float32),
+        f'{name}_out_kernel': _t(sd[f'{prefix}.net.3.weight']),
+        f'{name}_out_bias': np.asarray(sd[f'{prefix}.net.3.bias'], np.float32),
+    }
+
+
 def convert_reference_state_dict(sd: Dict[str, np.ndarray],
                                  config: dict) -> dict:
     """Reference DecompScorePosNet3D state_dict -> flax params tree
@@ -135,25 +150,8 @@ def convert_reference_state_dict(sd: Dict[str, np.ndarray],
 
         nlb: dict = {}
         for m in ('hk', 'hv'):
-            w0 = np.asarray(
-                sd[f'{base}.node_layer_with_bond.{m}_func.net.0.weight'],
-                np.float32)
-            nlb[f'{m}_e'] = {
-                'kernel': w0[:, :hidden].T,
-                'bias': np.asarray(
-                    sd[f'{base}.node_layer_with_bond.{m}_func.net.0.bias'],
-                    np.float32)}
-            nlb[f'{m}_i'] = {'kernel': w0[:, hidden:2 * hidden].T}
-            nlb[f'{m}_j'] = {'kernel': w0[:, 2 * hidden:].T}
-            nlb[f'{m}_ln'] = {
-                'scale': np.asarray(
-                    sd[f'{base}.node_layer_with_bond.{m}_func.net.1.weight'],
-                    np.float32),
-                'bias': np.asarray(
-                    sd[f'{base}.node_layer_with_bond.{m}_func.net.1.bias'],
-                    np.float32)}
-            nlb[f'{m}_out'] = _linear(
-                sd, f'{base}.node_layer_with_bond.{m}_func.net.3')
+            nlb.update(_split_dense_bond_kv(
+                sd, f'{base}.node_layer_with_bond.{m}_func', m, hidden))
         nlb['hq'] = _mlp(sd, f'{base}.node_layer_with_bond.hq_func')
         if x2h_out_fc:
             nlb['node_output'] = _mlp(
@@ -178,25 +176,8 @@ def convert_reference_state_dict(sd: Dict[str, np.ndarray],
 
         plb: dict = {}
         for m in ('xk', 'xv'):
-            w0 = np.asarray(
-                sd[f'{base}.pos_layer_with_bond.{m}_func.net.0.weight'],
-                np.float32)
-            plb[f'{m}_e'] = {
-                'kernel': w0[:, :hidden].T,
-                'bias': np.asarray(
-                    sd[f'{base}.pos_layer_with_bond.{m}_func.net.0.bias'],
-                    np.float32)}
-            plb[f'{m}_i'] = {'kernel': w0[:, hidden:2 * hidden].T}
-            plb[f'{m}_j'] = {'kernel': w0[:, 2 * hidden:].T}
-            plb[f'{m}_ln'] = {
-                'scale': np.asarray(
-                    sd[f'{base}.pos_layer_with_bond.{m}_func.net.1.weight'],
-                    np.float32),
-                'bias': np.asarray(
-                    sd[f'{base}.pos_layer_with_bond.{m}_func.net.1.bias'],
-                    np.float32)}
-            plb[f'{m}_out'] = _linear(
-                sd, f'{base}.pos_layer_with_bond.{m}_func.net.3')
+            plb.update(_split_dense_bond_kv(
+                sd, f'{base}.pos_layer_with_bond.{m}_func', m, hidden))
         plb['xq'] = _mlp(sd, f'{base}.pos_layer_with_bond.xq_func')
         layer['pos_layer_with_bond'] = plb
 
