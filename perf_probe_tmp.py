@@ -16,4 +16,4 @@ x = batch.ligand_pos
 t0=time.perf_counter(); r = f(x); jax.block_until_ready(r)
 print(f'compile {time.perf_counter()-t0:.0f}s', flush=True)
 t0 = time.perf_counter(); r = f(x); jax.block_until_ready(r)
-print(f'in-kernel j-proj B8: {(time.perf_counter()-t0)/30*1000:.2f} ms/step')
+print(f'all-pallas B8: {(time.perf_counter()-t0)/30*1000:.2f} ms/step')
