@@ -181,8 +181,9 @@ class DecompDiffModel:
         else:  # 'noise'
             target = pos_noise
             pred_pos = pred_pos - ligand_pos_perturbed_c
-        loss_pos = self.pos_diff.pos_mse_loss(
-            pred_pos, target, stds, batch.ligand_mask)
+        per_atom = (((pred_pos - target) ** 2) / (stds ** 2)).sum(-1)
+        per_graph_pos = masked_mean(per_atom, batch.ligand_mask, (1,))
+        loss_pos = per_graph_pos.mean()
 
         # atom types: categorical KL (ref :501-509)
         log_v_recon = jax.nn.log_softmax(pred_v, axis=-1)
@@ -198,6 +199,8 @@ class DecompDiffModel:
             'pred_ligand_v': pred_v,
             'ligand_v_recon': jax.nn.softmax(pred_v, axis=-1),
             'time_step': time_step,
+            # per-graph pos loss feeds the importance-sampling Lt history
+            'per_graph_pos_loss': per_graph_pos,
         }
 
         if self.bond_diffusion:

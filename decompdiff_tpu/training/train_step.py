@@ -33,6 +33,11 @@ class TrainState:
     step: jnp.ndarray
     params: dict
     opt_state: optax.OptState
+    # importance-time-sampling buffers (ref models/decompdiff.py:146-147
+    # Lt_history/Lt_count — registered but never updated in the reference;
+    # here the train step maintains them so 'importance' mode actually works)
+    lt_history: Optional[jnp.ndarray] = None   # [T] running E[L_t]
+    lt_count: Optional[jnp.ndarray] = None     # [T]
 
 
 def make_optimizer(optimizer_cfg, max_grad_norm: float = 8.0):
@@ -63,8 +68,11 @@ def create_train_state(model: DecompDiffModel, rng, example_batch: ComplexBatch,
     tx = make_optimizer(train_cfg.get('optimizer', {}),
                         train_cfg.get('max_grad_norm', 8.0))
     opt_state = tx.init(params)
+    T = model.num_timesteps
     return TrainState(step=jnp.asarray(0), params=params,
-                      opt_state=opt_state), tx
+                      opt_state=opt_state,
+                      lt_history=jnp.zeros((T,)),
+                      lt_count=jnp.zeros((T,))), tx
 
 
 def weighted_loss(losses: dict, weights: dict) -> jnp.ndarray:
@@ -81,16 +89,19 @@ def make_train_step(model: DecompDiffModel, tx, train_cfg):
     pos_noise_std = float(train_cfg.get('pos_noise_std', 0.1))
     prior_noise_std = float(train_cfg.get('prior_noise_std', 0.5))
 
-    def loss_fn(params, rng, batch):
-        out = model.get_diffusion_loss(params, rng, batch)
+    method = train_cfg.get('sample_time_method', 'symmetric')
+
+    def loss_fn(params, rng, batch, time_step):
+        out = model.get_diffusion_loss(params, rng, batch,
+                                       time_step=time_step)
         loss = weighted_loss(out['losses'], loss_weights)
         metrics = {f'loss_{k}': v for k, v in out['losses'].items()}
         metrics['loss'] = loss
-        return loss, metrics
+        return loss, (metrics, out['time_step'], out['per_graph_pos_loss'])
 
     @jax.jit
     def train_step(state: TrainState, batch: ComplexBatch, rng):
-        rng_prot, rng_prior, rng_loss = jax.random.split(rng, 3)
+        rng_prot, rng_prior, rng_t, rng_loss = jax.random.split(rng, 4)
         # input jitter (ref scripts/train_diffusion_decomp.py:160-164)
         batch = batch.replace(
             protein_pos=batch.protein_pos + pos_noise_std * jax.random.normal(
@@ -99,13 +110,35 @@ def make_train_step(model: DecompDiffModel, tx, train_cfg):
             + prior_noise_std * jax.random.normal(
                 rng_prior, batch.prior_centers.shape),
         )
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, rng_loss, batch)
+
+        time_step = None
+        T = model.num_timesteps
+        if method == 'importance' and state.lt_history is not None:
+            # importance-weighted t (ref models/decompdiff.py:374-385),
+            # jit-safe: falls back to uniform until every t has >10 samples
+            lt_sqrt = jnp.sqrt(state.lt_history
+                               / jnp.maximum(state.lt_count, 1.0)
+                               + 1e-10) + 1e-4
+            lt_sqrt = lt_sqrt.at[0].set(lt_sqrt[1])
+            p_imp = lt_sqrt / lt_sqrt.sum()
+            ready = (state.lt_count > 10).all()
+            p = jnp.where(ready, p_imp, jnp.full((T,), 1.0 / T))
+            time_step = jax.random.choice(rng_t, T, (batch.batch_size,), p=p)
+
+        (_, (metrics, t_used, per_graph)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, rng_loss, batch, time_step)
         metrics['grad_norm'] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+
+        lt_history, lt_count = state.lt_history, state.lt_count
+        if lt_history is not None:
+            lt_history = lt_history.at[t_used].add(
+                jax.lax.stop_gradient(per_graph))
+            lt_count = lt_count.at[t_used].add(1.0)
         return TrainState(step=state.step + 1, params=params,
-                          opt_state=opt_state), metrics
+                          opt_state=opt_state, lt_history=lt_history,
+                          lt_count=lt_count), metrics
 
     return train_step
 
