@@ -29,6 +29,12 @@ def save_checkpoint(path: str, config: dict, state, scheduler_state: dict,
         'params': _to_numpy_tree(state.params),
         'opt_state': _to_numpy_tree(state.opt_state),
         'step': int(state.step),
+        'lt_history': (np.asarray(state.lt_history)
+                       if getattr(state, 'lt_history', None) is not None
+                       else None),
+        'lt_count': (np.asarray(state.lt_count)
+                     if getattr(state, 'lt_count', None) is not None
+                     else None),
         'scheduler': scheduler_state,
         'iteration': int(iteration),
         'extra': extra or {},
@@ -51,8 +57,13 @@ def restore_train_state(ckpt: dict, template_state):
     def _restore(template, saved):
         return jax.tree.map(lambda t, s: jnp.asarray(s), template, saved)
 
-    return template_state.replace(
+    state = template_state.replace(
         step=jnp.asarray(ckpt['step']),
         params=_restore(template_state.params, ckpt['params']),
         opt_state=_restore(template_state.opt_state, ckpt['opt_state']),
     )
+    if ckpt.get('lt_history') is not None and \
+            getattr(state, 'lt_history', None) is not None:
+        state = state.replace(lt_history=jnp.asarray(ckpt['lt_history']),
+                              lt_count=jnp.asarray(ckpt['lt_count']))
+    return state

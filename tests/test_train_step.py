@@ -93,3 +93,17 @@ def test_plateau_scheduler_and_lr_mutation(setup):
     assert lr == pytest.approx(2.5e-4)
     new_opt = set_learning_rate(state.opt_state, lr)
     assert get_learning_rate(new_opt) == pytest.approx(2.5e-4)
+
+
+def test_importance_mode_trains(setup):
+    model, batch, _, _ = setup
+    cfg = dict(TRAIN_CFG)
+    cfg['sample_time_method'] = 'importance'
+    state, tx = create_train_state(model, jax.random.PRNGKey(1), batch, cfg)
+    step = make_train_step(model, tx, cfg)
+    rng = jax.random.PRNGKey(3)
+    for _ in range(3):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub)
+        assert np.isfinite(float(metrics['loss']))
+    assert float(state.lt_count.sum()) == 3 * batch.batch_size
