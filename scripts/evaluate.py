@@ -55,6 +55,7 @@ def main():
     for rf in result_files:
         with open(rf, 'rb') as f:
             payload = pickle.load(f)
+        atom_mode = payload.get('atom_mode', 'basic')
         for r in payload['results']:
             n_total += 1
             mol = r.get('mol')
@@ -63,7 +64,7 @@ def main():
             n_recon += 1
             n_complete += int(r.get('complete', False))
 
-            elements = atomic_numbers_from_index(r['pred_v'], 'basic')
+            elements = atomic_numbers_from_index(r['pred_v'], atom_mode)
             atom_counter.update(int(z) for z in elements)
             all_pair_lengths += pair_distances_from_pos(r['pred_pos'],
                                                         elements)

@@ -184,6 +184,7 @@ def main():
     out_path = os.path.join(args.outdir, f'result_{args.data_id}.pkl')
     with open(out_path, 'wb') as f:
         pickle.dump({'data_id': args.data_id, 'results': results,
+                     'atom_mode': atom_mode,
                      'config': sample_cfg_file.to_dict()}, f)
     logger.info(f'saved {out_path}')
 
