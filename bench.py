@@ -18,6 +18,13 @@ import time
 
 import numpy as np
 
+import os
+
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      '/tmp/decompdiff_tpu_jax_cache')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
+
+
 BASELINE_SEC_PER_MOL = 10.0  # estimated reference A100 (no published number)
 
 BATCH = 8

@@ -18,6 +18,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      '/tmp/decompdiff_tpu_jax_cache')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
+
 
 def main():
     parser = argparse.ArgumentParser()
