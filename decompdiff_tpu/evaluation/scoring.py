@@ -94,6 +94,19 @@ def compute_sa_score(mol) -> float:
     return round((10.0 - sascore) / 9.0, 2)
 
 
+def is_pains(mol) -> bool:
+    """PAINS_A substructure filter (ref scoring_func.py:15-25)."""
+    _require_rdkit()
+    from copy import deepcopy
+    from rdkit.Chem.FilterCatalog import FilterCatalog, FilterCatalogParams
+    params = FilterCatalogParams()
+    params.AddCatalog(FilterCatalogParams.FilterCatalogs.PAINS_A)
+    catalog = FilterCatalog(params)
+    mol = deepcopy(mol)
+    Chem.SanitizeMol(mol)
+    return catalog.GetFirstMatch(mol) is not None
+
+
 def obey_lipinski(mol) -> int:
     """Count of satisfied Lipinski rules (ref scoring_func.py:102-110)."""
     _require_rdkit()
