@@ -68,3 +68,17 @@ def test_validation_loss_tape():
     tape.update({'loss': 2.0}, weight=1)
     tape.update({'loss': 4.0}, weight=3)
     assert tape.averages()['loss'] == 3.5
+
+
+def test_mol_record_to_xyz():
+    from decompdiff_tpu.data.mol import MolRecord
+    from decompdiff_tpu.utils.visualize import mol_record_to_xyz
+    rec = MolRecord(element=np.array([6, 7]),
+                    pos=np.array([[0., 0., 0.], [1.4, 0., 0.]], np.float32),
+                    bond_index=np.array([[0, 1], [1, 0]]),
+                    bond_type=np.array([1, 1]),
+                    aromatic=np.zeros(2, bool))
+    xyz = mol_record_to_xyz(rec, 'test')
+    lines = xyz.strip().split('\n')
+    assert lines[0] == '2' and lines[1] == 'test'
+    assert lines[2].startswith('C') and lines[3].startswith('N')
