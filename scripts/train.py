@@ -121,7 +121,12 @@ def main():
         logger.info(f'{n_dev} devices but batch_size {batch_size} not '
                     'divisible — running unsharded')
 
-    train_step = make_train_step(model, tx, config.train)
+    # sample_time_method lives in the model section (ref configs/training.yml)
+    train_cfg_full = dict(config.train.to_dict())
+    train_cfg_full.setdefault(
+        'sample_time_method',
+        config.model.get('sample_time_method', 'symmetric'))
+    train_step = make_train_step(model, tx, train_cfg_full)
     eval_step = make_eval_step(model, config.train)
     rng = jax.random.PRNGKey(config.train.seed)
 
