@@ -150,3 +150,44 @@ def test_armsca_energy_matches_loop_reference():
         batch.ligand_pos, batch.ligand_decomp_idx, batch.num_arms,
         batch.ligand_mask, batch.num_groups, min_d, max_d))
     np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_clash_energy_matches_loop_reference():
+    """Vectorized clash equals a per-graph reimplementation of
+    ref utils/guidance_funcs.py:24-42."""
+    rng = np.random.default_rng(21)
+    B, Nl, Nf = 3, 7, 20
+    lig = rng.normal(size=(B, Nl, 3)).astype(np.float32) * 2
+    prot = rng.normal(size=(B, Nf, 3)).astype(np.float32) * 3
+    lig_mask = np.ones((B, Nl), bool)
+    lig_mask[0, 5:] = False
+    prot_mask = np.ones((B, Nf), bool)
+    prot_mask[1, 15:] = False
+    sigma, ct = 2.0, 4.0
+
+    total = 0.0
+    for b in range(B):
+        p = prot[b][prot_mask[b]]
+        l = lig[b][lig_mask[b]]
+        e = np.exp(-((p[None, :, :] - l[:, None, :]) ** 2).sum(-1) / sigma)
+        g = -sigma * np.log(1e-3 + e.sum(1))
+        total += np.clip(ct - g, 0, None).mean()
+
+    got = float(clash_energy(jnp.asarray(prot), jnp.asarray(prot_mask),
+                             jnp.asarray(lig), jnp.asarray(lig_mask),
+                             sigma=sigma, surface_ct=ct))
+    np.testing.assert_allclose(got, total, rtol=1e-5)
+
+
+def test_center_prox_energy_matches_loop():
+    rng = np.random.default_rng(22)
+    B, Nl = 2, 5
+    x = rng.normal(size=(B, Nl, 3)).astype(np.float32)
+    c = rng.normal(size=(B, Nl, 3)).astype(np.float32)
+    mask = np.ones((B, Nl), bool)
+    mask[1, 3:] = False
+    expected = sum(np.linalg.norm(x[b][mask[b]] - c[b][mask[b]], axis=-1).sum()
+                   for b in range(B))
+    got = float(center_prox_energy(jnp.asarray(x), jnp.asarray(c),
+                                   jnp.asarray(mask)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
