@@ -61,6 +61,19 @@ def seed_all(seed: int) -> None:
     np.random.seed(seed)
 
 
+# error taxonomy for the preprocessing fail buckets (ref utils/misc.py:88-105)
+class AlphaSpaceError(Exception):
+    pass
+
+
+class SDFParsingError(Exception):
+    pass
+
+
+class ExtractPocketError(Exception):
+    pass
+
+
 def count_parameters(params) -> int:
     import jax
     return sum(x.size for x in jax.tree.leaves(params))
