@@ -100,3 +100,45 @@ def test_pos_mse_loss_masking():
     pred2 = pred.at[0, 2:].set(100.0)
     loss2 = float(diff.pos_mse_loss(pred2, target, stds, mask))
     np.testing.assert_allclose(loss2, loss, rtol=1e-6)
+
+
+def test_reverse_chain_with_oracle_denoiser_converges():
+    """Iterating reverse_step from x_T ~ N(mu, sigma) with a perfect x0
+    prediction must land on x0 — validates the posterior mean/variance tables
+    and the prior-std-scaled noise end to end."""
+    T = 100
+    diff = make_diff(T)
+    rng = jax.random.PRNGKey(0)
+    n = 512
+    x0 = jnp.concatenate([jnp.full((n, 1, 3), 3.0),
+                          jnp.full((n, 1, 3), -1.0)], axis=1)
+    centers = jnp.zeros_like(x0)
+    stds = jnp.full_like(x0, 1.3)
+
+    rng, sub = jax.random.split(rng)
+    xt = centers + stds * jax.random.normal(sub, x0.shape)
+    for t in range(T - 1, -1, -1):
+        rng, sub = jax.random.split(rng)
+        tb = jnp.full((n,), t, jnp.int32)
+        xt = diff.reverse_step(sub, x0, xt, tb, stds)
+    err = np.abs(np.asarray(xt) - np.asarray(x0))
+    assert err.mean() < 0.02, err.mean()
+
+
+def test_forward_reverse_roundtrip_distribution():
+    """q_sample then a full oracle reverse pass preserves per-atom means."""
+    T = 50
+    diff = make_diff(T)
+    rng = jax.random.PRNGKey(1)
+    n = 2000
+    x0 = jnp.asarray(np.random.default_rng(0).normal(size=(n, 1, 3)) * 2,
+                     jnp.float32)
+    centers = jnp.zeros_like(x0)
+    stds = jnp.ones_like(x0)
+    t = jnp.full((n,), T - 1, jnp.int32)
+    xt = diff.q_sample(x0, t, jax.random.normal(rng, x0.shape), centers, stds)
+    # one oracle posterior step at T-1 must contract toward x0
+    mean = diff.q_posterior_mean(x0, xt, t)
+    d_before = float(jnp.abs(xt - x0).mean())
+    d_after = float(jnp.abs(mean - x0).mean())
+    assert d_after < d_before
