@@ -277,6 +277,7 @@ class BondTripletAttention(nn.Module):
     include_h_node: bool = True
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    pallas_bf16: bool = False
 
     @nn.compact
     def __call__(self, h_lig, h_bond, x_lig, bond_mask):
@@ -361,7 +362,8 @@ class BondTripletAttention(nn.Module):
                 tkj_v32, tij_v.astype(jnp.float32),
                 q.astype(jnp.float32), bond_mask.astype(jnp.float32),
                 wa_k, wo_k, bo_k, lns_k, lnb_k,
-                wa_v, wo_v, bo_v, lns_v, lnb_v, n_heads=self.n_heads)
+                wa_v, wo_v, bo_v, lns_v, lnb_v, n_heads=self.n_heads,
+                bf16=self.pallas_bf16)
             return out.astype(in_dtype)
 
         # ---- dense XLA path ----
@@ -510,6 +512,7 @@ class AttentionLayerBond(nn.Module):
     include_h_node: bool
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    pallas_bf16: bool = False
 
     @nn.compact
     def __call__(self, h, x, edge_type, nbr_idx, nbr_mask, h_bond, bond_mask,
@@ -538,6 +541,7 @@ class AttentionLayerBond(nn.Module):
         new_h_bond = h_bond + BondTripletAttention(
             self.hidden_dim, self.n_heads, include_h_node=self.include_h_node,
             dtype=self.dtype, use_pallas=self.use_pallas,
+            pallas_bf16=self.pallas_bf16,
             name='bond_layer')(h_lig, h_bond, x_lig, bond_mask)
 
         # scatter the bond-stream node update into the full context
@@ -579,6 +583,7 @@ class UniTransformerBond(nn.Module):
     remat: bool = False
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    pallas_bf16: bool = False
     cutoff_mode: str = 'knn'   # ['knn', 'radius'] — radius keeps the top-k
     r_max: float = 10.0        # degree cap and masks edges beyond r_max
 
@@ -605,7 +610,7 @@ class UniTransformerBond(nn.Module):
         layers = [layer_cls(
             self.hidden_dim, self.n_heads, self.edge_feat_dim,
             self.x2h_out_fc, self.include_h_node, self.dtype,
-            self.use_pallas, name=f'layer_{i}')
+            self.use_pallas, self.pallas_bf16, name=f'layer_{i}')
             for i in range(self.num_layers)]
 
         for _ in range(self.num_blocks):

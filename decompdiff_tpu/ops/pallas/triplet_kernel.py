@@ -57,7 +57,7 @@ def _kernel(angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
             q_ref, mask_ref, hsum_ref,
             wa_k_ref, wo_k_ref, bo_k_ref, lns_k_ref, lnb_k_ref,
             wa_v_ref, wo_v_ref, bo_v_ref, lns_v_ref, lnb_v_ref,
-            out_ref, *, n_heads: int):
+            out_ref, *, n_heads: int, bf16: bool):
     i = pl.program_id(1)
     angle = angle_ref[0, 0]         # [Nl_j, Nl_k]
     Nl = angle.shape[0]
@@ -75,8 +75,14 @@ def _kernel(angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
         pre = pre + tij_ref[0, 0][:, None, :]               # (i,j) term
         y = _layer_norm(pre, lns_ref[0], lnb_ref[0])
         y = jnp.maximum(y, 0.0)
-        o = jnp.dot(y.reshape(Nl * Nl, H), wo_ref[:],
-                    preferred_element_type=jnp.float32)
+        y2 = y.reshape(Nl * Nl, H)
+        wo = wo_ref[:]
+        if bf16:
+            # the second linear dominates the kernel's FLOPs; bf16 inputs
+            # with f32 accumulation trade ~1e-3 absolute error for MXU rate
+            y2 = y2.astype(jnp.bfloat16)
+            wo = wo.astype(jnp.bfloat16)
+        o = jnp.dot(y2, wo, preferred_element_type=jnp.float32)
         return o.reshape(Nl, Nl, H) + bo_ref[0]
 
     k_t = branch(tkj_k_ref, tij_k_ref, wa_k_ref, wo_k_ref, bo_k_ref,
@@ -115,10 +121,11 @@ def _kernel(angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
     out_ref[0, 0] = out
 
 
-@partial(jax.jit, static_argnames=('n_heads',))
+@partial(jax.jit, static_argnames=('n_heads', 'bf16'))
 def triplet_attention_pallas(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask,
                              wa_k, wo_k, bo_k, lns_k, lnb_k,
-                             wa_v, wo_v, bo_v, lns_v, lnb_v, *, n_heads: int):
+                             wa_v, wo_v, bo_v, lns_v, lnb_v, *, n_heads: int,
+                             bf16: bool = False):
     """Args:
         angle:       [B, Nl(i), Nl(j), Nl(k)] triplet angles at vertex i
         tkj_k/tkj_v: [B, Nl(j), Nl(k), H] factorized (k->j) first-linear term
@@ -148,7 +155,7 @@ def triplet_attention_pallas(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask,
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        partial(_kernel, n_heads=n_heads),
+        partial(_kernel, n_heads=n_heads, bf16=bf16),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, Nl, Nl), lambda b, i: (b, i, 0, 0),
