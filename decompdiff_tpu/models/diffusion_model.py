@@ -131,10 +131,16 @@ class DecompDiffModel:
 
     # ------------------------------------------------------------------
     def get_diffusion_loss(self, params, rng, batch: ComplexBatch,
-                           time_step: Optional[jnp.ndarray] = None):
+                           time_step: Optional[jnp.ndarray] = None,
+                           noise_override: Optional[dict] = None):
         """Training losses (ref models/decompdiff.py:419-550).
 
         Returns dict: losses {pos, v[, bond]}, plus diagnostics.
+
+        noise_override (tests only): dict with 'pos_noise' [B, Nl, 3],
+        'v_perturbed' [B, Nl] and (if bond_diffusion) 'b_perturbed'
+        [B, Nl, Nl] to replace the internal random draws — enables exact
+        numeric parity checks against the reference oracle.
         """
         B = batch.batch_size
         rng_t, rng_pos, rng_v, rng_b = jax.random.split(rng, 4)
@@ -145,20 +151,34 @@ class DecompDiffModel:
         # 2. perturb pos / v / bond (ref :437-457)
         centers = batch.atom_prior_centers()
         stds = batch.atom_prior_stds()
-        pos_noise = jax.random.normal(rng_pos, batch.ligand_pos.shape)
+        if noise_override is not None:
+            pos_noise = jnp.asarray(noise_override['pos_noise'])
+        else:
+            pos_noise = jax.random.normal(rng_pos, batch.ligand_pos.shape)
         ligand_pos_perturbed = self.pos_diff.q_sample(
             batch.ligand_pos, time_step, pos_noise, centers, stds)
 
         log_v0 = index_to_log_onehot(batch.ligand_v, self.atom_diff.num_classes)
-        v_perturbed, log_vt = self.atom_diff.q_v_sample(rng_v, log_v0, time_step)
+        if noise_override is not None:
+            v_perturbed = jnp.asarray(noise_override['v_perturbed'])
+            log_vt = index_to_log_onehot(v_perturbed,
+                                         self.atom_diff.num_classes)
+        else:
+            v_perturbed, log_vt = self.atom_diff.q_v_sample(
+                rng_v, log_v0, time_step)
         # keep padded atoms harmless
         v_perturbed = jnp.where(batch.ligand_mask, v_perturbed, 0)
 
         if self.bond_diffusion:
             log_b0 = index_to_log_onehot(batch.bond_type,
                                          self.bond_diff.num_classes)
-            b_perturbed, log_bt = self.bond_diff.q_v_sample(
-                rng_b, log_b0, time_step)
+            if noise_override is not None:
+                b_perturbed = jnp.asarray(noise_override['b_perturbed'])
+                log_bt = index_to_log_onehot(b_perturbed,
+                                             self.bond_diff.num_classes)
+            else:
+                b_perturbed, log_bt = self.bond_diff.q_v_sample(
+                    rng_b, log_b0, time_step)
             b_perturbed = jnp.where(batch.bond_mask, b_perturbed, 0)
         else:
             b_perturbed = batch.bond_type

@@ -1,0 +1,645 @@
+r"""Pure-numpy ragged oracle of the reference DecompDiff forward + loss.
+
+This is a direct transcription of the torch math over edge lists —
+scatter_softmax / scatter_sum attention, CSR-style triplet enumeration, the
+exact layer wiring of ref models/encoders/uni_transformer_edge.py:16-443 and
+ref models/decompdiff.py:213-351,419-550 — with NO torch and NO jax. It
+consumes a reference-layout state dict (the same key names/shapes as
+`DecompScorePosNet3D.state_dict()`), so a single test proves the whole chain:
+
+    reference state dict --convert_reference_state_dict--> flax padded model
+                         \--this oracle (ragged numpy)---/  must agree.
+
+Everything is float64 for a stable ground truth. Only the released
+`uni_o2_bond` topology (bond_diffusion, bond_net_type='lin'/'pre_att',
+node_indicator, no prior nodes, knn cutoff) is implemented.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# feature blocks (ref models/common.py)
+# ---------------------------------------------------------------------------
+
+FIXED_OFFSETS = np.array(
+    [0, 1, 1.25, 1.5, 1.75, 2, 2.25, 2.5, 2.75, 3, 3.5, 4, 4.5, 5, 5.5, 6,
+     7, 8, 9, 10], dtype=np.float64)
+
+
+def fixed_rbf(dist):
+    """GaussianSmearing with fix_offset=True (ref models/common.py:11-31).
+    dist [...] -> [..., 20]; coeff = -0.5 / (offset[1]-offset[0])^2 = -0.5."""
+    d = np.asarray(dist, np.float64)[..., None] - FIXED_OFFSETS
+    return np.exp(-0.5 * d * d)
+
+
+def linspace_rbf(dist, start, stop, num):
+    offsets = np.linspace(start, stop, num)
+    coeff = -0.5 / ((stop - start) / (num - 1)) ** 2
+    d = np.asarray(dist, np.float64)[..., None] - offsets
+    return np.exp(coeff * d * d)
+
+
+def angular_encoding(x, num_funcs=3):
+    """ref models/common.py:34-54; [...] -> [..., 4f+1]."""
+    freq = np.array([i + 1 for i in range(num_funcs)]
+                    + [1.0 / (i + 1) for i in range(num_funcs)], np.float64)
+    x = np.asarray(x, np.float64)[..., None]
+    return np.concatenate([x, np.sin(x * freq), np.cos(x * freq)], axis=-1)
+
+
+def outer_product(a, b):
+    """a-major flattening (ref models/common.py:116-123)."""
+    out = a[..., :, None] * b[..., None, :]
+    return out.reshape(out.shape[:-2] + (a.shape[-1] * b.shape[-1],))
+
+
+def shifted_softplus(x):
+    return np.logaddexp(0.0, x) - np.log(2.0)
+
+
+def log_softmax(x, axis=-1):
+    m = x.max(axis=axis, keepdims=True)
+    s = np.log(np.exp(x - m).sum(axis=axis, keepdims=True))
+    return x - m - s
+
+
+# ---------------------------------------------------------------------------
+# scatter ops (torch_scatter equivalents)
+# ---------------------------------------------------------------------------
+
+def scatter_sum(src, index, dim_size):
+    out = np.zeros((dim_size,) + src.shape[1:], np.float64)
+    np.add.at(out, index, src)
+    return out
+
+
+def scatter_mean(src, index, dim_size):
+    s = scatter_sum(src, index, dim_size)
+    cnt = np.zeros((dim_size,), np.float64)
+    np.add.at(cnt, index, 1.0)
+    cnt = np.maximum(cnt, 1.0).reshape((dim_size,) + (1,) * (src.ndim - 1))
+    return s / cnt
+
+
+def scatter_softmax(src, index, dim_size):
+    """Groupwise softmax along axis 0 (torch_scatter.scatter_softmax)."""
+    big = np.full((dim_size,) + src.shape[1:], -np.inf)
+    np.maximum.at(big, index, src)
+    e = np.exp(src - big[index])
+    denom = scatter_sum(e, index, dim_size)
+    return e / denom[index]
+
+
+# ---------------------------------------------------------------------------
+# parameter access (reference-layout state dict)
+# ---------------------------------------------------------------------------
+
+def _linear(sd, prefix, x):
+    w = np.asarray(sd[f'{prefix}.weight'], np.float64)
+    b = np.asarray(sd[f'{prefix}.bias'], np.float64)
+    return x @ w.T + b
+
+
+def _layernorm(x, w, b, eps=1e-5):
+    mean = x.mean(-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(-1, keepdims=True)
+    return (x - mean) / np.sqrt(var + eps) * w + b
+
+
+def _mlp(sd, prefix, x):
+    """MLP = Linear -> LayerNorm -> ReLU -> Linear (ref models/common.py:85-105)."""
+    y = _linear(sd, f'{prefix}.net.0', x)
+    y = _layernorm(y, np.asarray(sd[f'{prefix}.net.1.weight'], np.float64),
+                   np.asarray(sd[f'{prefix}.net.1.bias'], np.float64))
+    y = np.maximum(y, 0.0)
+    return _linear(sd, f'{prefix}.net.3', y)
+
+
+# ---------------------------------------------------------------------------
+# graph construction
+# ---------------------------------------------------------------------------
+
+def knn_graph(pos, batch, k):
+    """PyG knn_graph(flow='source_to_target'): for each node i, edges j->i
+    from its k nearest same-graph neighbors (self excluded)."""
+    pos = np.asarray(pos, np.float64)
+    src, dst = [], []
+    for g in np.unique(batch):
+        idxs = np.nonzero(batch == g)[0]
+        p = pos[idxs]
+        d2 = ((p[:, None, :] - p[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        kk = min(k, len(idxs) - 1)
+        nbr = np.argsort(d2, axis=1)[:, :kk]
+        for li, i in enumerate(idxs):
+            for j in nbr[li]:
+                src.append(idxs[j])
+                dst.append(i)
+    return np.array([src, dst], np.int64)
+
+
+def triplets(bond_index, num_nodes):
+    """ref models/encoders/uni_transformer_edge.py:103-123. bond_index rows
+    are (j=src, i=dst); for each edge e=(j->i) and each in-edge f=(k->j) with
+    k != i, emit triplet (i, j, k, idx_kj=f, idx_ji=e)."""
+    row, col = bond_index  # j -> i
+    E = row.shape[0]
+    in_edges = [[] for _ in range(num_nodes)]  # in_edges[n] = edge ids k->n
+    for f in range(E):
+        in_edges[col[f]].append(f)
+    idx_i, idx_j, idx_k, idx_kj, idx_ji = [], [], [], [], []
+    for e in range(E):
+        j, i = row[e], col[e]
+        for f in in_edges[j]:
+            kk = row[f]
+            if kk == i:
+                continue
+            idx_i.append(i)
+            idx_j.append(j)
+            idx_k.append(kk)
+            idx_kj.append(f)
+            idx_ji.append(e)
+    return (np.array(idx_i, np.int64), np.array(idx_j, np.int64),
+            np.array(idx_k, np.int64), np.array(idx_kj, np.int64),
+            np.array(idx_ji, np.int64))
+
+
+# ---------------------------------------------------------------------------
+# attention layers (ref models/encoders/uni_transformer_edge.py)
+# ---------------------------------------------------------------------------
+
+def node_update_layer(sd, prefix, h, edge_feat, edge_index, n_heads,
+                      e_w=None, out_fc=True):
+    """ref uni_transformer_edge.py:16-74."""
+    N = h.shape[0]
+    src, dst = edge_index
+    kv_input = np.concatenate([edge_feat, h[dst], h[src]], -1)
+    k = _mlp(sd, f'{prefix}.hk_func', kv_input)
+    v = _mlp(sd, f'{prefix}.hv_func', kv_input)
+    if e_w is not None:
+        v = v * e_w.reshape(-1, 1)
+    H = k.shape[-1]
+    hd = H // n_heads
+    k = k.reshape(-1, n_heads, hd)
+    v = v.reshape(-1, n_heads, hd)
+    q = _mlp(sd, f'{prefix}.hq_func', h).reshape(-1, n_heads, hd)
+    logits = (q[dst] * k).sum(-1) / np.sqrt(hd)
+    alpha = scatter_softmax(logits, dst, N)
+    out = scatter_sum(alpha[..., None] * v, dst, N).reshape(N, H)
+    if out_fc:
+        out = _mlp(sd, f'{prefix}.node_output', np.concatenate([out, h], -1))
+    return out
+
+
+def bond_update_layer(sd, prefix, h, h_bond, pos, bond_index, n_heads,
+                      include_h_node):
+    """ref uni_transformer_edge.py:77-167 (triplet angular attention)."""
+    N, E = h.shape[0], h_bond.shape[0]
+    idx_i, idx_j, idx_k, idx_kj, idx_ji = triplets(bond_index, N)
+    j, i = bond_index
+    dist = np.sqrt(((pos[i] - pos[j]) ** 2).sum(-1))  # (E,)
+    pos_i = pos[idx_i]
+    pos_ji = pos[idx_j] - pos_i
+    pos_ki = pos[idx_k] - pos_i
+    a = (pos_ji * pos_ki).sum(-1)
+    b = np.linalg.norm(np.cross(pos_ji, pos_ki), axis=-1)
+    angle = np.arctan2(b, a)
+    r_feat = fixed_rbf(dist)
+    a_feat = angular_encoding(angle)
+
+    if include_h_node:
+        kv_input = np.concatenate(
+            [h_bond[idx_kj], r_feat[idx_kj], r_feat[idx_ji], a_feat,
+             h[idx_k], h[idx_j]], -1)
+        q_input = np.concatenate([h_bond, h[i]], -1)
+    else:
+        kv_input = np.concatenate(
+            [h_bond[idx_kj], r_feat[idx_kj], r_feat[idx_ji], a_feat], -1)
+        q_input = h_bond
+
+    k = _mlp(sd, f'{prefix}.hk_func', kv_input)
+    v = _mlp(sd, f'{prefix}.hv_func', kv_input)
+    H = k.shape[-1]
+    hd = H // n_heads
+    k = k.reshape(-1, n_heads, hd)
+    v = v.reshape(-1, n_heads, hd)
+    q = _mlp(sd, f'{prefix}.hq_func', q_input).reshape(-1, n_heads, hd)
+    logits = (q[idx_ji] * k).sum(-1) / np.sqrt(hd)
+    alpha = scatter_softmax(logits, idx_ji, E)
+    out = scatter_sum(alpha[..., None] * v, idx_ji, E).reshape(E, H)
+    return out
+
+
+def pos_update_layer(sd, prefix, h, rel_x, edge_feat, edge_index, n_heads,
+                     e_w=None):
+    """ref uni_transformer_edge.py:170-210."""
+    N = h.shape[0]
+    src, dst = edge_index
+    kv_input = np.concatenate([edge_feat, h[dst], h[src]], -1)
+    k = _mlp(sd, f'{prefix}.xk_func', kv_input)
+    v = _mlp(sd, f'{prefix}.xv_func', kv_input)  # [E, n_heads]
+    if e_w is not None:
+        v = v * e_w.reshape(-1, 1)
+    v = v[..., None] * rel_x[:, None, :]          # [E, heads, 3]
+    H = k.shape[-1]
+    hd = H // n_heads
+    k = k.reshape(-1, n_heads, hd)
+    q = _mlp(sd, f'{prefix}.xq_func', h).reshape(-1, n_heads, hd)
+    logits = (q[dst] * k).sum(-1) / np.sqrt(hd)
+    alpha = scatter_softmax(logits, dst, N)
+    out = scatter_sum(alpha[..., None] * v, dst, N)  # [N, heads, 3]
+    return out.mean(1)
+
+
+def attention_layer(sd, base, h, x, edge_attr, edge_index, h_bond,
+                    bond_index, mask_ligand_atom, n_heads, e_w=None,
+                    x2h_out_fc=True, include_h_node=False):
+    """ref uni_transformer_edge.py:213-287."""
+    src, dst = edge_index
+    rel_x = x[dst] - x[src]
+    dist = np.sqrt((rel_x ** 2).sum(-1))
+    dist_feat = fixed_rbf(dist)
+    dist_feat = outer_product(edge_attr, dist_feat)
+    edge_feat = np.concatenate([dist_feat, edge_attr], -1)
+    new_h_with_edge = node_update_layer(
+        sd, f'{base}.node_layer_with_edge', h, edge_feat, edge_index,
+        n_heads, e_w=e_w, out_fc=x2h_out_fc)
+    new_h_with_bond = node_update_layer(
+        sd, f'{base}.node_layer_with_bond', h, h_bond, bond_index,
+        n_heads, e_w=None, out_fc=x2h_out_fc)
+    new_h_bond = h_bond + bond_update_layer(
+        sd, f'{base}.bond_layer', h, h_bond, x, bond_index, n_heads,
+        include_h_node)
+    new_h = h + _linear(sd, f'{base}.lin_node',
+                        new_h_with_edge + new_h_with_bond)
+    dx_edge = pos_update_layer(sd, f'{base}.pos_layer_with_edge', new_h,
+                               rel_x, edge_feat, edge_index, n_heads, e_w=e_w)
+    bond_src, bond_dst = bond_index
+    rel_bond_x = x[bond_dst] - x[bond_src]
+    dx_bond = pos_update_layer(sd, f'{base}.pos_layer_with_bond', new_h,
+                               rel_bond_x, new_h_bond, bond_index, n_heads)
+    dx = dx_edge + dx_bond
+    x = x + dx * mask_ligand_atom[:, None]
+    return new_h, new_h_bond, x
+
+
+def build_edge_type(edge_index, mask_ligand, group_idx=None):
+    """ref uni_transformer_edge.py:361-392."""
+    src, dst = edge_index
+    n_src = mask_ligand[src]
+    n_dst = mask_ligand[dst]
+    et = np.zeros(len(src), np.int64)
+    et[n_src & n_dst] = 0
+    et[n_src & ~n_dst] = 1
+    et[~n_src & n_dst] = 2
+    et[~n_src & ~n_dst] = 3
+    out = np.eye(4)[et]
+    if group_idx is not None:
+        same = (group_idx[src] == group_idx[dst]).astype(np.int64)
+        out = np.concatenate([out, np.eye(2)[same]], -1)
+    return out
+
+
+def uni_transformer_bond(sd, cfg, h, x, group_idx, bond_index, h_bond,
+                         mask_ligand, mask_ligand_atom, batch):
+    """ref uni_transformer_edge.py:290-443 forward."""
+    n_heads = cfg['n_heads']
+    k = cfg['knn']
+    for _ in range(cfg['num_blocks']):
+        edge_index = knn_graph(x, batch, k)
+        edge_type = build_edge_type(edge_index, mask_ligand, group_idx)
+        src, dst = edge_index
+        if cfg.get('use_global_ew', True):
+            dist = np.sqrt(((x[dst] - x[src]) ** 2).sum(-1))
+            logits = _mlp(sd, 'refine_net.edge_pred_layer', fixed_rbf(dist))
+            e_w = 1.0 / (1.0 + np.exp(-logits))
+        else:
+            e_w = None
+        for l in range(cfg['num_layers']):
+            h, h_bond, x = attention_layer(
+                sd, f'refine_net.base_block.{l}', h, x, edge_type,
+                edge_index, h_bond, bond_index, mask_ligand_atom, n_heads,
+                e_w=e_w, x2h_out_fc=cfg.get('x2h_out_fc', True),
+                include_h_node=cfg.get('h_node_in_bond_net', False))
+    return {'x': x, 'h': h, 'h_bond': h_bond}
+
+
+# ---------------------------------------------------------------------------
+# context composition (ref models/common.py:167-194)
+# ---------------------------------------------------------------------------
+
+def compose_context(h_protein, h_ligand, pos_protein, pos_ligand,
+                    batch_protein, batch_ligand):
+    batch_ctx = np.concatenate([batch_protein, batch_ligand])
+    sort_idx = np.argsort(batch_ctx, kind='stable')
+    mask_ligand = np.concatenate([
+        np.zeros(len(batch_protein), bool), np.ones(len(batch_ligand), bool),
+    ])[sort_idx]
+    batch_all = batch_ctx[sort_idx]
+    h_all = np.concatenate([h_protein, h_ligand], 0)[sort_idx]
+    pos_all = np.concatenate([pos_protein, pos_ligand], 0)[sort_idx]
+    # ligand_index_in_ctx: position of each original ligand atom in ctx
+    inv = np.empty_like(sort_idx)
+    inv[sort_idx] = np.arange(len(sort_idx))
+    l_index_in_ctx = inv[len(batch_protein):]
+    return h_all, pos_all, batch_all, mask_ligand, l_index_in_ctx
+
+
+# ---------------------------------------------------------------------------
+# DecompScorePosNet3D.forward (ref models/decompdiff.py:213-351)
+# ---------------------------------------------------------------------------
+
+def decomp_forward(sd, cfg, num_classes, num_bond_classes,
+                   protein_pos, protein_v, batch_protein,
+                   ligand_pos, ligand_v, ligand_v_aux, batch_ligand,
+                   ligand_fc_bond_index, ligand_fc_bond_type):
+    """Released topology: node_indicator, no prior node, no time embedding."""
+    assert not cfg.get('add_prior_node', False)
+    assert cfg.get('time_emb_dim', 0) == 0
+    v_onehot = np.eye(num_classes)[ligand_v]
+    lig_feat = np.concatenate([v_onehot, ligand_v_aux], -1)
+    h_protein = _linear(sd, 'protein_atom_emb', np.asarray(protein_v, np.float64))
+    h_ligand = _linear(sd, 'ligand_atom_emb', lig_feat)
+    if cfg.get('node_indicator', True):
+        h_protein = np.concatenate(
+            [h_protein, np.zeros((len(h_protein), 1))], -1)
+        h_ligand = np.concatenate([h_ligand, np.ones((len(h_ligand), 1))], -1)
+
+    h_all, pos_all, batch_all, mask_ligand, l_index_in_ctx = compose_context(
+        h_protein, h_ligand, np.asarray(protein_pos, np.float64),
+        np.asarray(ligand_pos, np.float64), batch_protein, batch_ligand)
+    bond_index_in_all = l_index_in_ctx[ligand_fc_bond_index]
+
+    bond_onehot = np.eye(num_bond_classes)[ligand_fc_bond_type]
+    h_bond = _linear(sd, 'ligand_bond_emb', bond_onehot)
+
+    outputs = uni_transformer_bond(
+        sd, cfg, h_all, pos_all, None, bond_index_in_all, h_bond,
+        mask_ligand, mask_ligand.astype(np.float64), batch_all)
+
+    final_pos, final_h = outputs['x'], outputs['h']
+    final_ligand_pos = final_pos[mask_ligand]
+    final_ligand_h = final_h[mask_ligand]
+    y = _linear(sd, 'v_inference.0', final_ligand_h)
+    final_ligand_v = _linear(sd, 'v_inference.2', shifted_softplus(y))
+    preds = {'pred_ligand_pos': final_ligand_pos,
+             'pred_ligand_v': final_ligand_v}
+
+    if cfg.get('bond_diffusion', False):
+        bond_net_type = cfg.get('bond_net_type', 'lin')
+        if bond_net_type == 'lin':
+            bond_inf_input = outputs['h_bond']
+        elif bond_net_type == 'pre_att':
+            src, dst = bond_index_in_all
+            dist = np.sqrt(((final_pos[dst] - final_pos[src]) ** 2).sum(-1))
+            r_feat = linspace_rbf(dist, 0.0, 5.0, cfg.get('num_r_gaussian', 20))
+            hi, hj = final_h[dst], final_h[src]
+            bond_inf_input = np.concatenate([r_feat, (hi + hj) / 2], -1)
+        else:
+            raise ValueError(bond_net_type)
+        y = _linear(sd, 'bond_inference.0', bond_inf_input)
+        preds['pred_bond'] = _linear(sd, 'bond_inference.2',
+                                     shifted_softplus(y))
+    return preds
+
+
+# ---------------------------------------------------------------------------
+# schedules + transitions (ref models/transitions.py, decompdiff.py:96-131)
+# ---------------------------------------------------------------------------
+
+def cosine_alpha_schedule(timesteps, s=0.008):
+    steps = timesteps + 1
+    x = np.linspace(0, steps, steps)
+    ac = np.cos(((x / steps) + s) / (1 + s) * np.pi * 0.5) ** 2
+    ac = ac / ac[0]
+    alphas = np.clip(ac[1:] / ac[:-1], 0.001, 1.0)
+    return np.sqrt(alphas)
+
+
+def sigmoid_betas(beta_start, beta_end, T):
+    x = np.linspace(-6, 6, T)
+    return 1.0 / (np.exp(-x) + 1) * (beta_end - beta_start) + beta_start
+
+
+class PosSchedule:
+    """Gaussian schedule coefficients (ref models/decompdiff.py:96-131)."""
+
+    def __init__(self, cfg):
+        T = cfg['num_diffusion_timesteps']
+        if cfg['beta_schedule'] == 'cosine':
+            alphas = cosine_alpha_schedule(T, cfg['pos_beta_s']) ** 2
+            betas = 1.0 - alphas
+        elif cfg['beta_schedule'] == 'sigmoid':
+            betas = sigmoid_betas(cfg['beta_start'], cfg['beta_end'], T)
+            alphas = 1.0 - betas
+        else:
+            raise NotImplementedError(cfg['beta_schedule'])
+        self.alphas_cumprod = np.cumprod(alphas)
+        ac_prev = np.append(1.0, self.alphas_cumprod[:-1])
+        self.posterior_mean_c0_coef = (
+            betas * np.sqrt(ac_prev) / (1.0 - self.alphas_cumprod))
+        self.posterior_mean_ct_coef = (
+            (1.0 - ac_prev) * np.sqrt(alphas) / (1.0 - self.alphas_cumprod))
+        pv = betas * (1.0 - ac_prev) / (1.0 - self.alphas_cumprod)
+        self.posterior_var = pv
+        self.posterior_logvar = np.log(np.append(pv[1], pv[1:]))
+
+
+class DiscreteTransition:
+    """ref models/transitions.py:97-161 (uniform prior only)."""
+
+    def __init__(self, T, s, num_classes):
+        la = np.log(cosine_alpha_schedule(T, s))
+        self.log_alphas = la
+        self.log_one_minus_alphas = np.log(1 - np.exp(la) + 1e-40)
+        self.log_ac = np.cumsum(la)
+        self.log_one_minus_ac = np.log(1 - np.exp(self.log_ac) + 1e-40)
+        self.prior = np.full((num_classes,), -np.log(num_classes))
+        self.K = num_classes
+
+    @staticmethod
+    def _log_add_exp(a, b):
+        m = np.maximum(a, b)
+        return m + np.log(np.exp(a - m) + np.exp(b - m))
+
+    def q_v_pred_one_timestep(self, log_vt_1, t, batch):
+        la = self.log_alphas[t][batch][:, None]
+        l1a = self.log_one_minus_alphas[t][batch][:, None]
+        return self._log_add_exp(log_vt_1 + la, l1a + self.prior)
+
+    def q_v_pred(self, log_v0, t, batch):
+        lc = self.log_ac[t][batch][:, None]
+        l1c = self.log_one_minus_ac[t][batch][:, None]
+        return self._log_add_exp(log_v0 + lc, l1c + self.prior)
+
+    def q_v_posterior(self, log_v0, log_vt, t, batch):
+        tm1 = np.maximum(t - 1, 0)
+        log_qvt1_v0 = self.q_v_pred(log_v0, tm1, batch)
+        un = log_qvt1_v0 + self.q_v_pred_one_timestep(log_vt, t, batch)
+        return un - _logsumexp(un)
+
+
+def _logsumexp(x):
+    m = x.max(-1, keepdims=True)
+    return m + np.log(np.exp(x - m).sum(-1, keepdims=True))
+
+
+def index_to_log_onehot(x, K):
+    return np.log(np.clip(np.eye(K)[x], 1e-30, None))
+
+
+def categorical_kl(log_p, log_q):
+    return (np.exp(log_p) * (log_p - log_q)).sum(-1)
+
+
+def log_categorical(log_x0, log_prob):
+    return (np.exp(log_x0) * log_prob).sum(-1)
+
+
+def compute_v_lt(log_model, log_v0, log_true, t, batch, num_graphs):
+    """ref models/decompdiff.py:411-417."""
+    kl = categorical_kl(log_true, log_model)
+    nll = -log_categorical(log_v0, log_model)
+    mask = (t == 0).astype(np.float64)[batch]
+    return scatter_mean(mask * nll + (1 - mask) * kl, batch, num_graphs)
+
+
+# ---------------------------------------------------------------------------
+# get_diffusion_loss (ref models/decompdiff.py:419-550) with injected noise
+# ---------------------------------------------------------------------------
+
+def decomp_loss(sd, cfg, num_classes, num_bond_classes,
+                protein_pos, protein_v, batch_protein,
+                ligand_pos, ligand_v, ligand_v_aux, batch_ligand,
+                atom_prior_centers, atom_prior_stds,
+                ligand_fc_bond_index, ligand_fc_bond_type, batch_ligand_bond,
+                time_step, pos_noise, v_perturbed, b_perturbed):
+    """All randomness injected: time_step [B], pos_noise [Nl,3],
+    v_perturbed [Nl], b_perturbed [E]. atom_prior_* are per-ligand-atom."""
+    num_graphs = int(batch_protein.max()) + 1
+    pos_sched = PosSchedule(cfg)
+    atom_trans = DiscreteTransition(cfg['num_diffusion_timesteps'],
+                                    cfg.get('v_beta_s', 0.01), num_classes)
+    bond_trans = DiscreteTransition(cfg['num_diffusion_timesteps'],
+                                    cfg.get('v_beta_s', 0.01), num_bond_classes)
+
+    a = pos_sched.alphas_cumprod[time_step]
+    a_pos = a[batch_ligand][:, None]
+    ligand_pos = np.asarray(ligand_pos, np.float64)
+    ligand_pos_perturbed = (
+        np.sqrt(a_pos) * (ligand_pos - atom_prior_centers)
+        + np.sqrt(1.0 - a_pos) * pos_noise * atom_prior_stds
+        + atom_prior_centers)
+
+    log_v0 = index_to_log_onehot(ligand_v, num_classes)
+    log_vt = index_to_log_onehot(v_perturbed, num_classes)
+    log_b0 = index_to_log_onehot(ligand_fc_bond_type, num_bond_classes)
+    log_bt = index_to_log_onehot(b_perturbed, num_bond_classes)
+
+    # center by protein centroid (ref :20-32,459-462)
+    offset = scatter_mean(np.asarray(protein_pos, np.float64),
+                          batch_protein, num_graphs)
+    protein_pos_c = protein_pos - offset[batch_protein]
+    ligand_pos_perturbed_c = ligand_pos_perturbed - offset[batch_ligand]
+    ligand_pos_c = ligand_pos - offset[batch_ligand]
+
+    preds = decomp_forward(
+        sd, cfg, num_classes, num_bond_classes,
+        protein_pos_c, protein_v, batch_protein,
+        ligand_pos_perturbed_c, v_perturbed, ligand_v_aux, batch_ligand,
+        ligand_fc_bond_index, b_perturbed)
+
+    pred_pos, pred_v = preds['pred_ligand_pos'], preds['pred_ligand_v']
+    assert cfg.get('model_mean_type', 'C0') == 'C0'
+
+    log_v_recon = log_softmax(pred_v, -1)
+    log_v_model = atom_trans.q_v_posterior(log_v_recon, log_vt, time_step,
+                                            batch_ligand)
+    log_v_true = atom_trans.q_v_posterior(log_v0, log_vt, time_step,
+                                           batch_ligand)
+    kl_v = compute_v_lt(log_v_model, log_v0, log_v_true, time_step,
+                        batch_ligand, num_graphs)
+    loss_v = kl_v.mean()
+
+    log_b_recon = log_softmax(preds['pred_bond'], -1)
+    log_b_model = bond_trans.q_v_posterior(log_b_recon, log_bt, time_step,
+                                            batch_ligand_bond)
+    log_b_true = bond_trans.q_v_posterior(log_b0, log_bt, time_step,
+                                           batch_ligand_bond)
+    kl_b = compute_v_lt(log_b_model, log_b0, log_b_true, time_step,
+                        batch_ligand_bond, num_graphs)
+    loss_bond = kl_b.mean()
+
+    per_atom = (((pred_pos - ligand_pos_c) ** 2)
+                / (atom_prior_stds ** 2)).sum(-1)
+    loss_pos = scatter_mean(per_atom, batch_ligand, num_graphs).mean()
+
+    return {'pos': loss_pos, 'v': loss_v, 'bond': loss_bond,
+            'pred_ligand_pos': pred_pos, 'pred_ligand_v': pred_v,
+            'pred_bond': preds['pred_bond'],
+            'ligand_pos_perturbed_c': ligand_pos_perturbed_c}
+
+
+# ---------------------------------------------------------------------------
+# reference-layout synthetic state dict builder
+# ---------------------------------------------------------------------------
+
+def make_reference_state_dict(rng, cfg, num_classes, num_bond_classes,
+                              protein_feat_dim, ligand_feat_dim):
+    """Random state dict with the reference's exact key names and shapes for
+    the released uni_o2_bond topology."""
+    H = cfg['hidden_dim']
+    heads = cfg['n_heads']
+    fe = cfg.get('edge_feat_dim', 4) * 21
+    include_h = cfg.get('h_node_in_bond_net', False)
+    x2h_out_fc = cfg.get('x2h_out_fc', True)
+    emb = H - 1 if cfg.get('node_indicator', True) else H
+    sd = {}
+
+    def lin(prefix, i, o):
+        sd[f'{prefix}.weight'] = rng.normal(size=(o, i)) * (1.0 / np.sqrt(i))
+        sd[f'{prefix}.bias'] = rng.normal(size=(o,)) * 0.05
+
+    def mlp(prefix, i, o):
+        lin(f'{prefix}.net.0', i, H)
+        sd[f'{prefix}.net.1.weight'] = 1.0 + rng.normal(size=(H,)) * 0.05
+        sd[f'{prefix}.net.1.bias'] = rng.normal(size=(H,)) * 0.05
+        lin(f'{prefix}.net.3', H, o)
+
+    lin('protein_atom_emb', protein_feat_dim, emb)
+    lin('ligand_atom_emb', ligand_feat_dim, emb)
+    lin('ligand_bond_emb', num_bond_classes, H)
+    lin('v_inference.0', H, H)
+    lin('v_inference.2', H, num_classes)
+    if cfg.get('bond_diffusion', False):
+        bond_in = (H if cfg.get('bond_net_type', 'lin') == 'lin'
+                   else cfg.get('num_r_gaussian', 20) + H)
+        lin('bond_inference.0', bond_in, H)
+        lin('bond_inference.2', H, num_bond_classes)
+    if cfg.get('use_global_ew', True):
+        mlp('refine_net.edge_pred_layer', 20, 1)
+    bond_kv = H + 20 * 2 + 13 + (2 * H if include_h else 0)
+    bond_q = 2 * H if include_h else H
+    for l in range(cfg['num_layers']):
+        base = f'refine_net.base_block.{l}'
+        lin(f'{base}.lin_node', H, H)
+        for m in ('hk', 'hv'):
+            mlp(f'{base}.node_layer_with_edge.{m}_func', fe + 2 * H, H)
+            mlp(f'{base}.node_layer_with_bond.{m}_func', 3 * H, H)
+            mlp(f'{base}.bond_layer.{m}_func', bond_kv, H)
+        mlp(f'{base}.node_layer_with_edge.hq_func', H, H)
+        mlp(f'{base}.node_layer_with_bond.hq_func', H, H)
+        mlp(f'{base}.bond_layer.hq_func', bond_q, H)
+        if x2h_out_fc:
+            mlp(f'{base}.node_layer_with_edge.node_output', 2 * H, H)
+            mlp(f'{base}.node_layer_with_bond.node_output', 2 * H, H)
+        mlp(f'{base}.pos_layer_with_edge.xk_func', fe + 2 * H, H)
+        mlp(f'{base}.pos_layer_with_edge.xv_func', fe + 2 * H, heads)
+        mlp(f'{base}.pos_layer_with_edge.xq_func', H, H)
+        mlp(f'{base}.pos_layer_with_bond.xk_func', 3 * H, H)
+        mlp(f'{base}.pos_layer_with_bond.xv_func', 3 * H, heads)
+        mlp(f'{base}.pos_layer_with_bond.xq_func', H, H)
+    return sd
