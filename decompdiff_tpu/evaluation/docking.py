@@ -1,16 +1,23 @@
 """AutoDock Vina / QVina docking wrappers (host, gated on external tools).
 
-Role parity with ref utils/evaluation/docking_vina.py (PrepLig/PrepProt/
-VinaDock/VinaDockingTask) and docking.py (QVinaDockingTask subprocess
-pipeline). The vina/meeko/AutoDockTools/pdb2pqr binaries and packages are not
-present in this image; every entry point degrades to an informative
-ImportError/FileNotFoundError so the evaluation driver can skip docking
-(--docking_mode none) without breaking.
+Parity with ref utils/evaluation/docking_vina.py (PrepLig/PrepProt/VinaDock/
+VinaDockingTask) and ref utils/evaluation/docking.py:24-183 (QVinaDockingTask
+subprocess pipeline + SDF REMARK parsing). The vina/meeko/AutoDockTools/
+pdb2pqr/obabel/qvina2 tools are not present in this image; every entry point
+degrades to an informative ImportError/FileNotFoundError so the evaluation
+driver can skip docking without breaking, and the subprocess/vina seams are
+monkeypatchable for tests.
+
+Unlike the reference, the ligand SDF writer also accepts this framework's
+RDKit-free MolRecord (decompdiff_tpu/data/mol.py), so box geometry and the
+pipeline plumbing work on hosts without RDKit.
 """
 
 from __future__ import annotations
 
 import os
+import random
+import string
 import subprocess
 import tempfile
 from typing import List, Optional
@@ -23,8 +30,53 @@ def _have(cmd: str) -> bool:
     return which(cmd) is not None
 
 
+def get_random_id(length=30):
+    return ''.join(random.choice(string.ascii_lowercase)
+                   for _ in range(length))
+
+
+def _mol_positions(mol) -> np.ndarray:
+    """Heavy-atom coordinates from an RDKit mol or a MolRecord."""
+    if hasattr(mol, 'bond_index'):  # MolRecord
+        return np.asarray(mol.pos, np.float64)
+    return np.asarray(mol.GetConformer(0).GetPositions(), np.float64)
+
+
+def _write_ligand_sdf(mol, path: str, add_hs: bool = True):
+    """Write the generated ligand to SDF (RDKit path adds explicit Hs with
+    coordinates, ref docking_vina.py:183-190; MolRecord path writes as-is)."""
+    if hasattr(mol, 'bond_index'):
+        from decompdiff_tpu.data.mol import mol_to_sdf_block
+        with open(path, 'w') as f:
+            f.write(mol_to_sdf_block(mol))
+        return mol
+    from rdkit import Chem
+    rdmol = Chem.AddHs(mol, addCoords=True) if add_hs else mol
+    writer = Chem.SDWriter(path)
+    writer.write(rdmol)
+    writer.close()
+    return rdmol
+
+
+def compute_box(pos: np.ndarray, center=None, size_factor: Optional[float] = 1.0,
+                buffer: float = 5.0):
+    """Search-box geometry (ref docking_vina.py:193-202 / docking.py:96-105):
+    center = ligand bbox center unless given; size = extent * size_factor +
+    buffer, or a fixed 20 A cube when size_factor is None."""
+    pos = np.asarray(pos, np.float64)
+    if center is None:
+        center = (pos.max(0) + pos.min(0)) / 2
+    center = [float(c) for c in np.asarray(center)]
+    if size_factor is None:
+        size = [20.0, 20.0, 20.0]
+    else:
+        size = [float(s) for s in
+                (pos.max(0) - pos.min(0)) * size_factor + buffer]
+    return center, size
+
+
 class PrepLig:
-    """Ligand -> PDBQT via meeko (ref docking_vina.py:30-58)."""
+    """Ligand SDF -> PDBQT via meeko (ref docking_vina.py:30-58)."""
 
     def __init__(self, input_mol: str, mol_format: str):
         from rdkit import Chem
@@ -33,7 +85,7 @@ class PrepLig:
             self.ob_mol = Chem.MolFromSmiles(input_mol)
             AllChem.EmbedMolecule(Chem.AddHs(self.ob_mol))
         elif mol_format == 'sdf':
-            self.ob_mol = Chem.MolFromMolFile(input_mol)
+            self.ob_mol = Chem.MolFromMolFile(input_mol, removeHs=False)
         else:
             raise ValueError(mol_format)
 
@@ -84,25 +136,23 @@ class VinaDock:
         self.box_size: Optional[List[float]] = None
 
     def get_box(self, ref_ligand_pos: np.ndarray, buffer: float = 5.0):
-        """Box = ligand extent + buffer (ref docking_vina.py:100-112)."""
-        pos = np.asarray(ref_ligand_pos)
-        lo, hi = pos.min(0), pos.max(0)
-        self.pocket_center = ((lo + hi) / 2).tolist()
-        self.box_size = (hi - lo + 2 * buffer).tolist()
+        """Box = ligand extent + buffer (ref docking_vina.py:90-116)."""
+        self.pocket_center, self.box_size = compute_box(
+            ref_ligand_pos, size_factor=1.0, buffer=buffer)
 
     def run(self, mode: str = 'dock', exhaustiveness: int = 8,
-            save_pose: bool = False, **kwargs):
+            save_pose: bool = True, **kwargs):
+        """One Vina call; returns (score, pose) (ref docking_vina.py:118-149)."""
         from vina import Vina
         v = Vina(sf_name='vina', seed=0, verbosity=0)
         v.set_receptor(self.prot_pdbqt)
         v.set_ligand_from_file(self.lig_pdbqt)
         v.compute_vina_maps(center=self.pocket_center, box_size=self.box_size)
+        pose = None
         if mode == 'score_only':
             score = v.score()[0]
-            pose = None
         elif mode == 'minimize':
             score = v.optimize()[0]
-            pose = None
             if save_pose:
                 with tempfile.NamedTemporaryFile('r', suffix='.pdbqt') as tmp:
                     v.write_pose(tmp.name, overwrite=True)
@@ -110,7 +160,8 @@ class VinaDock:
         elif mode == 'dock':
             v.dock(exhaustiveness=exhaustiveness, n_poses=1)
             score = v.energies(n_poses=1)[0][0]
-            pose = v.poses(n_poses=1) if save_pose else None
+            if save_pose:
+                pose = v.poses(n_poses=1)
         else:
             raise ValueError(mode)
         return (score, pose) if save_pose else score
@@ -118,30 +169,38 @@ class VinaDock:
 
 class VinaDockingTask:
     """End-to-end docking of one generated molecule against its pocket
-    (ref docking_vina.py:152-227)."""
+    (ref docking_vina.py:152-227). run() returns [{'affinity', 'pose'}] to
+    match the reference driver's indexing (ref evaluate_mol_from_meta_full.py
+    :188-198)."""
 
     def __init__(self, mol, protein_path: str, tmp_dir: str = '/tmp',
-                 center=None, size_factor: float = 1.0, buffer: float = 5.0):
+                 center=None, size_factor: Optional[float] = 1.0,
+                 buffer: float = 5.0):
+        if protein_path is None:
+            raise ValueError('protein_path is required for docking — pass '
+                             '--protein_root to the evaluation driver or '
+                             'record protein_path at sampling time')
         self.mol = mol
         self.protein_path = protein_path
         self.tmp_dir = tmp_dir
-        self.buffer = buffer
+        # box geometry honored exactly as the reference (:193-202)
+        self.center, self.box_size = compute_box(
+            _mol_positions(mol), center, size_factor, buffer)
 
     @classmethod
     def from_generated_mol(cls, mol, ligand_filename: str, protein_root: str,
                            **kwargs):
-        """Protein path derived from the ligand filename
-        (ref docking_vina.py:160-175)."""
+        """Protein path derived from the ligand filename as
+        <dir>/<basename[:10]>.pdb (ref docking_vina.py:154-162)."""
         protein_fn = os.path.join(
             os.path.dirname(ligand_filename),
             os.path.basename(ligand_filename)[:10] + '.pdb')
         return cls(mol, os.path.join(protein_root, protein_fn), **kwargs)
 
     def run(self, mode: str = 'dock', exhaustiveness: int = 8):
-        from rdkit import Chem
         with tempfile.TemporaryDirectory(dir=self.tmp_dir) as td:
             lig_sdf = os.path.join(td, 'lig.sdf')
-            Chem.MolToMolFile(self.mol, lig_sdf)
+            _write_ligand_sdf(self.mol, lig_sdf)
             lig_pdbqt = os.path.join(td, 'lig.pdbqt')
             PrepLig(lig_sdf, 'sdf').get_pdbqt(lig_pdbqt)
 
@@ -152,34 +211,143 @@ class VinaDockingTask:
             prot.get_pdbqt(prot_pdbqt)
 
             dock = VinaDock(lig_pdbqt, prot_pdbqt)
-            conf = self.mol.GetConformer(0).GetPositions()
-            dock.get_box(conf, self.buffer)
-            return dock.run(mode=mode, exhaustiveness=exhaustiveness)
+            dock.pocket_center, dock.box_size = self.center, self.box_size
+            score, pose = dock.run(mode=mode, exhaustiveness=exhaustiveness,
+                                   save_pose=True)
+            return [{'affinity': score, 'pose': pose}]
+
+
+def parse_qvina_outputs(docked_sdf_path: str) -> List[dict]:
+    """Parse the obabel-converted qvina2 output SDF: each pose carries a
+    'REMARK' data field whose first line is 'VINA RESULT: <affinity>
+    <rmsd_lb> <rmsd_ub>' (ref utils/evaluation/docking.py:24-39). Text-based
+    so it works without RDKit; attaches rdmol objects when RDKit is present."""
+    with open(docked_sdf_path) as f:
+        text = f.read()
+    results = []
+    for i, block in enumerate(b for b in text.split('$$$$') if b.strip()):
+        lines = block.splitlines()
+        remark = None
+        for li, line in enumerate(lines):
+            if line.strip().startswith('>') and '<REMARK>' in line:
+                remark = lines[li + 1].strip()
+                break
+        if remark is None:
+            continue
+        toks = remark.split()[2:]  # drop 'VINA RESULT:'
+        results.append({
+            'mode_id': i,
+            'affinity': float(toks[0]),
+            'rmsd_lb': float(toks[1]),
+            'rmsd_ub': float(toks[2]),
+        })
+    try:
+        from rdkit import Chem
+        for r, mol in zip(results, Chem.SDMolSupplier(docked_sdf_path)):
+            r['rdmol'] = mol
+    except ImportError:
+        pass
+    return results
 
 
 class QVinaDockingTask:
-    """qvina2 subprocess pipeline (ref utils/evaluation/docking.py:56-183)."""
+    """qvina2 subprocess pipeline (ref utils/evaluation/docking.py:56-183):
+    prepare_receptor4 + obabel SDF->PDBQT + qvina2 + obabel back + REMARK
+    parse. Runs the binaries from PATH directly (no conda-env indirection)."""
+
+    REQUIRED_TOOLS = ('prepare_receptor4.py', 'obabel', 'qvina2')
+
+    @classmethod
+    def from_generated_mol(cls, mol, ligand_filename: str, protein_root: str,
+                           **kwargs):
+        protein_fn = os.path.join(
+            os.path.dirname(ligand_filename),
+            os.path.basename(ligand_filename)[:10] + '.pdb')
+        return cls(mol, os.path.join(protein_root, protein_fn), **kwargs)
 
     def __init__(self, mol, protein_path: str, tmp_dir: str = '/tmp',
-                 use_uff: bool = True):
-        if not _have('qvina2'):
-            raise FileNotFoundError('qvina2 binary not found on PATH')
+                 use_uff: bool = True, center=None,
+                 size_factor: Optional[float] = 1.0, buffer: float = 5.0):
+        if protein_path is None:
+            raise ValueError('protein_path is required for docking')
         self.mol = mol
         self.protein_path = protein_path
-        self.tmp_dir = tmp_dir
+        self.tmp_dir = os.path.realpath(tmp_dir)
+        os.makedirs(self.tmp_dir, exist_ok=True)
         self.use_uff = use_uff
+        self.task_id = get_random_id()
+        self.receptor_id = self.task_id + '_receptor'
+        self.ligand_id = self.task_id + '_ligand'
+        self.center, (self.size_x, self.size_y, self.size_z) = compute_box(
+            _mol_positions(mol), center, size_factor, buffer)
+        self.docked_sdf_path = os.path.join(
+            self.tmp_dir, f'{self.ligand_id}_out.sdf')
 
-    def run_sync(self, exhaustiveness: int = 16):
-        raise NotImplementedError(
-            'qvina pipeline requires obabel + AutoDockTools; run the '
-            'VinaDockingTask path instead')
+    def check_tools(self):
+        missing = [t for t in self.REQUIRED_TOOLS if not _have(t)]
+        if missing:
+            raise FileNotFoundError(
+                f'qvina pipeline tools missing from PATH: {missing}')
+
+    def _prepare_inputs(self):
+        """Write receptor PDB copy + ligand SDF (UFF-minimized when RDKit is
+        available, ref docking.py:87-93) into tmp_dir."""
+        receptor_path = os.path.join(self.tmp_dir, self.receptor_id + '.pdb')
+        with open(self.protein_path) as f:
+            pdb_block = f.read()
+        with open(receptor_path, 'w') as f:
+            f.write(pdb_block)
+        ligand_path = os.path.join(self.tmp_dir, self.ligand_id + '.sdf')
+        rdmol = _write_ligand_sdf(self.mol, ligand_path)
+        if self.use_uff and not hasattr(self.mol, 'bond_index'):
+            try:
+                from rdkit import Chem
+                from rdkit.Chem.rdForceFieldHelpers import UFFOptimizeMolecule
+                UFFOptimizeMolecule(rdmol)
+                writer = Chem.SDWriter(ligand_path)
+                writer.write(rdmol)
+                writer.close()
+            except Exception:
+                pass
+
+    def commands(self, exhaustiveness: int = 16) -> str:
+        """The bash pipeline (ref docking.py:114-143, sans conda env)."""
+        return f"""
+cd {self.tmp_dir}
+prepare_receptor4.py -r {self.receptor_id}.pdb
+obabel {self.ligand_id}.sdf -O{self.ligand_id}.pdbqt
+qvina2 \\
+    --receptor {self.receptor_id}.pdbqt \\
+    --ligand {self.ligand_id}.pdbqt \\
+    --center_x {self.center[0]:.4f} \\
+    --center_y {self.center[1]:.4f} \\
+    --center_z {self.center[2]:.4f} \\
+    --size_x {self.size_x} --size_y {self.size_y} --size_z {self.size_z} \\
+    --exhaustiveness {exhaustiveness}
+obabel {self.ligand_id}_out.pdbqt -O{self.ligand_id}_out.sdf -h
+"""
+
+    def run_sync(self, exhaustiveness: int = 16) -> List[dict]:
+        self.check_tools()
+        self._prepare_inputs()
+        proc = subprocess.run(['/bin/bash'],
+                              input=self.commands(exhaustiveness).encode(),
+                              capture_output=True)
+        self.output = proc.stdout
+        self.error_output = proc.stderr
+        results = parse_qvina_outputs(self.docked_sdf_path)
+        if not results:
+            raise RuntimeError(
+                f'qvina produced no poses (stderr: '
+                f'{self.error_output[-400:].decode(errors="replace")})')
+        return results
 
 
 def docking_available() -> dict:
     """What docking backends the current host can actually run."""
     out = {'vina': False, 'meeko': False, 'pdb2pqr': _have('pdb2pqr30'),
            'prepare_receptor4': _have('prepare_receptor4.py'),
-           'qvina2': _have('qvina2')}
+           'obabel': _have('obabel'), 'qvina2': _have('qvina2')}
     try:
         import vina  # noqa: F401
         out['vina'] = True

@@ -36,6 +36,12 @@ def _require_rdkit():
                           '(QED/SA/logP/Lipinski); install rdkit.')
 
 
+def can_score(mol) -> bool:
+    """Whether get_chem can evaluate this molecule on this host (RDKit
+    present and the object is an RDKit mol, not a MolRecord)."""
+    return HAS_RDKIT and not hasattr(mol, 'bond_index')
+
+
 def _load_sa_fragment_scores():
     global _sa_model
     if _sa_model is None:

@@ -2,11 +2,15 @@
 
 Usage:
     python scripts/evaluate.py OUTDIR [--docking_mode {none,vina_score,
-        vina_full,vina,qvina}] [--protein_root DIR]
+        vina_full,vina,qvina}] [--protein_root DIR] [--exhaustiveness N]
+        [--ref_vina_pkl PKL]
 
 Protocol parity with ref scripts/evaluate_mol_from_meta_full.py: aggregate
 result pickles, (re)reconstruct if needed, chem properties (RDKit-gated),
-docking (tool-gated), bond/pair JSD profiles, completeness and ring-size
+docking per mode (qvina / vina=dock / vina_score=score_only+minimize /
+vina_full=+dock; ref :77-103), Vina Score/Min/Dock mean+median (ref :182-198),
+High Affinity and Success Rate (QED>0.25, SA>0.59, Vina Dock<-8.18; paper
+protocol per BASELINE.md), bond/pair JSD profiles, completeness and ring-size
 reports.
 """
 
@@ -22,14 +26,23 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument('outdir')
     parser.add_argument('--docking_mode', default='none',
                         choices=['none', 'vina_score', 'vina_full', 'vina',
                                  'qvina'])
-    parser.add_argument('--protein_root', default=None)
-    args = parser.parse_args()
+    parser.add_argument('--protein_root', default=None,
+                        help='root dir holding the original receptor PDBs; '
+                             'combined with each result\'s ligand_filename '
+                             '(ref docking_vina.py:154-162)')
+    parser.add_argument('--exhaustiveness', type=int, default=32)
+    parser.add_argument('--tmp_dir', default='/tmp')
+    parser.add_argument('--ref_vina_pkl', default=None,
+                        help='pickle {ligand_filename: reference-ligand Vina '
+                             'Dock affinity} enabling the High Affinity '
+                             'metric')
+    args = parser.parse_args(argv)
 
     from decompdiff_tpu.constants import atomic_numbers_from_index
     from decompdiff_tpu.evaluation.eval_atom_type import (
@@ -38,19 +51,25 @@ def main():
         bond_distances_from_mol, eval_bond_length_profile,
         eval_pair_length_profile, get_bond_length_profile,
         get_pair_length_profile, pair_distances_from_pos)
-    from decompdiff_tpu.evaluation.scoring import HAS_RDKIT, get_chem, get_ring_sizes
+    from decompdiff_tpu.evaluation import protocol, scoring
+    from decompdiff_tpu.evaluation.scoring import get_ring_sizes
     from decompdiff_tpu.utils.misc import get_logger
 
     logger = get_logger('evaluate', args.outdir)
     result_files = sorted(glob.glob(os.path.join(args.outdir, 'result_*.pkl')))
     assert result_files, f'no result_*.pkl under {args.outdir}'
 
-    n_total, n_recon, n_complete = 0, 0, 0
+    ref_vina = {}
+    if args.ref_vina_pkl:
+        with open(args.ref_vina_pkl, 'rb') as f:
+            ref_vina = pickle.load(f)
+
+    n_total, n_recon, n_complete, n_dock_success = 0, 0, 0, 0
     all_bond_lengths, all_pair_lengths = [], []
     atom_counter = Counter()
     ring_sizes = Counter()
-    chem_rows = []
-    vina_rows = []
+    # aligned per reconstructed sample (for Success Rate / High Affinity)
+    chem_list, dock_list, vina_rows, ha_flags = [], [], [], []
 
     for rf in result_files:
         with open(rf, 'rb') as f:
@@ -73,24 +92,35 @@ def main():
                 ring_sizes.update(get_ring_sizes(mol))
             except Exception:
                 pass
-            if HAS_RDKIT and not hasattr(mol, 'bond_index'):
+
+            chem = None
+            if scoring.can_score(mol):
                 try:
-                    chem_rows.append(get_chem(mol))
+                    chem = scoring.get_chem(mol)
                 except Exception as e:
                     logger.info(f'chem scoring failed: {e}')
-                if args.docking_mode != 'none':
-                    from decompdiff_tpu.evaluation.docking import (
-                        VinaDockingTask)
-                    try:
-                        task = VinaDockingTask(
-                            mol, protein_path=r.get('protein_path'),
-                            tmp_dir='/tmp')
-                        mode = {'vina_score': 'score_only',
-                                'vina': 'dock', 'vina_full': 'dock',
-                                'qvina': 'dock'}[args.docking_mode]
-                        vina_rows.append(task.run(mode=mode))
-                    except Exception as e:
-                        logger.info(f'docking failed: {e}')
+            chem_list.append(chem)
+
+            dock_val = None
+            if args.docking_mode != 'none':
+                try:
+                    vina_results = protocol.run_docking(
+                        mol, args.docking_mode,
+                        ligand_filename=r.get('ligand_filename', ''),
+                        protein_root=args.protein_root,
+                        protein_path=r.get('protein_path'),
+                        exhaustiveness=args.exhaustiveness,
+                        tmp_dir=args.tmp_dir)
+                    vina_rows.append(vina_results)
+                    n_dock_success += 1
+                    dock_val = protocol.dock_affinity(vina_results,
+                                                      args.docking_mode)
+                    ref_d = ref_vina.get(r.get('ligand_filename', ''))
+                    if ref_d is not None and dock_val is not None:
+                        ha_flags.append(dock_val < float(ref_d))
+                except Exception as e:
+                    logger.info(f'docking failed: {e}')
+            dock_list.append(dock_val)
 
     logger.info(f'total {n_total}, reconstructed {n_recon} '
                 f'({n_recon / max(n_total, 1):.1%}), complete {n_complete} '
@@ -110,26 +140,45 @@ def main():
     logger.info(f'atom-type JSD: {atom_jsd:.4f}')
     logger.info(f'ring sizes: {dict(sorted(ring_sizes.items()))}')
 
+    chem_rows = [c for c in chem_list if c is not None]
     if chem_rows:
         for key in ('qed', 'sa', 'logp', 'lipinski'):
             vals = [c[key] for c in chem_rows]
             logger.info(f'{key}: mean {np.mean(vals):.4f} '
                         f'median {np.median(vals):.4f}')
-    if vina_rows:
-        logger.info(f'vina: mean {np.mean(vina_rows):.4f} '
-                    f'median {np.median(vina_rows):.4f}')
+
+    vina_metrics = protocol.aggregate_vina(vina_rows, args.docking_mode)
+    for name in ('vina_score', 'vina_min', 'vina_dock'):
+        if f'{name}_mean' in vina_metrics:
+            logger.info(f'{name}: mean {vina_metrics[f"{name}_mean"]:.4f} '
+                        f'median {vina_metrics[f"{name}_median"]:.4f}')
+
+    high_affinity = float(np.mean(ha_flags)) if ha_flags else None
+    if high_affinity is not None:
+        logger.info(f'high affinity (< reference ligand): {high_affinity:.1%}')
+    elif args.docking_mode != 'none' and not args.ref_vina_pkl:
+        logger.info('high affinity skipped (no --ref_vina_pkl)')
+
+    sr = protocol.success_rate(chem_list, dock_list)
+    if sr is not None:
+        logger.info(f'success rate (QED>0.25, SA>0.59, Dock<-8.18): {sr:.1%}')
 
     summary = {
         'n_total': n_total, 'n_recon': n_recon, 'n_complete': n_complete,
+        'n_dock_success': n_dock_success,
         'bond_jsd': bond_metrics, 'pair_jsd': pair_metrics,
         'atom_type_jsd': atom_jsd,
         'ring_sizes': dict(ring_sizes),
         'chem': chem_rows, 'vina': vina_rows,
+        'vina_metrics': vina_metrics,
+        'high_affinity': high_affinity,
+        'success_rate': sr,
     }
     out = os.path.join(args.outdir, 'eval_summary.pkl')
     with open(out, 'wb') as f:
         pickle.dump(summary, f)
     logger.info(f'saved {out}')
+    return summary
 
 
 if __name__ == '__main__':

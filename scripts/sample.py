@@ -39,6 +39,12 @@ def main():
     parser.add_argument('--save_traj', action='store_true')
     parser.add_argument('--use_pallas', action='store_true',
                         help='enable the fused TPU kernels for sampling')
+    parser.add_argument('--protein_path', default=None,
+                        help='path to the ORIGINAL full-protein PDB used for '
+                             'clash guidance (the pocket store is a crop; '
+                             'ref sample_diffusion_decomp.py:564-565 loads '
+                             'the full protein). Also recorded into results '
+                             'for docking evaluation.')
     args = parser.parse_args()
 
     from decompdiff_tpu.utils.platform import apply_platform_env
@@ -110,8 +116,19 @@ def main():
 
     full_protein = None
     if any(d['type'] == 'clash' for d in energy_drift):
-        fp = np.asarray(raw['protein_pos'], np.float32)
-        full_protein_pos = fp  # pocket store = full protein when available
+        if args.protein_path:
+            # the reference computes clash against the ORIGINAL full protein
+            # (ref sample_diffusion_decomp.py:564-565); the pocket store is a
+            # crop and under-penalizes
+            from decompdiff_tpu.data.protein import PDBProtein
+            fp = np.asarray(
+                PDBProtein(args.protein_path).to_dict_atom()['pos'],
+                np.float32)
+        else:
+            fp = np.asarray(raw['protein_pos'], np.float32)
+            logger.info('clash guidance uses the pocket store protein; pass '
+                        '--protein_path for the original full protein')
+        full_protein_pos = fp
 
     num_samples = args.num_samples or scfg.get('num_samples', 10)
     rng_np = np.random.default_rng(scfg.get('seed', 2021))
@@ -156,6 +173,12 @@ def main():
                 'pred_bond': pred_bond,
                 'decomp_mask': np.asarray(batch.ligand_decomp_idx[s])[m],
                 'mol': None, 'smiles': None, 'complete': False,
+                # provenance for the docking protocol (the reference derives
+                # the receptor from the ligand filename + protein root;
+                # ref docking_vina.py:154-162)
+                'ligand_filename': raw.get('src_ligand_filename', ''),
+                'src_protein_filename': raw.get('src_protein_filename', ''),
+                'protein_path': args.protein_path,
             }
             if traj is not None:
                 # stacked scan outputs [T, B, ...] -> per-sample trajectories
