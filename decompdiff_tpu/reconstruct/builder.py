@@ -313,44 +313,155 @@ def reconstruct_from_generated_with_bond(xyz, atomic_nums, bond_index,
 
 
 def perceive_bonds(xyz, atomic_nums, stretch_factor=1.3, min_d=0.4):
-    """Covalent-radius bond perception with hypervalency pruning
-    (OpenBabel connect_the_dots role; ref utils/reconstruct.py:76-193)."""
-    xyz = np.asarray(xyz, np.float32)
-    n = len(atomic_nums)
-    radii = np.array([COVALENT_RADII.get(int(z), 0.77) for z in atomic_nums])
-    d = np.linalg.norm(xyz[:, None] - xyz[None], axis=-1)
-    cutoff = (radii[:, None] + radii[None]) * stretch_factor
-    cand = (d < cutoff) & (d > min_d) & ~np.eye(n, dtype=bool)
-    bonds = {}
-    for a in range(n):
-        for b in range(a + 1, n):
-            if cand[a, b]:
-                bonds[(a, b)] = 1
-    bonds, charges = _repair_record(atomic_nums, xyz, bonds,
-                                    check_validity=False)
-    return bonds, charges
+    """Covalent-radius bond perception with stretch pruning + hypervalency
+    repair (OpenBabel connect_the_dots; ref utils/reconstruct.py:76-193)."""
+    from decompdiff_tpu.reconstruct import ligan
+    bonds = ligan.connect_the_dots(xyz, atomic_nums,
+                                   covalent_factor=stretch_factor)
+    return bonds, np.zeros(len(atomic_nums), np.int64)
+
+
+def _rdkit_from_perceived(xyz, atomic_nums, bonds, flags):
+    """Perceived graph -> sanitized RDKit mol, mirroring
+    convert_ob_mol_to_rd_mol (ref utils/reconstruct.py:196-307): aromatic
+    flags restricted to <=6-rings, double/triple downgrades on hypervalent
+    atoms (longest first), N4+ charge, sanitize w/o kekulize, aromatic
+    consistency pass; then postprocess_rd_mol_1/2 (ref :382-458)."""
+    from copy import deepcopy
+    mol = _rdkit_build(xyz, atomic_nums, bonds)
+    ri = Chem.GetSymmSSSR(mol)
+    ring_ok = set()
+    for ring in ri:
+        if len(ring) <= 6:
+            ring_ok.update(ring)
+    for i, a in enumerate(mol.GetAtoms()):
+        a.SetIsAromatic(bool(flags[i]) and i in ring_ok)
+    for bond in mol.GetBonds():
+        i, j = bond.GetBeginAtomIdx(), bond.GetEndAtomIdx()
+        bond.SetIsAromatic(bool(flags[i]) and bool(flags[j])
+                           and i in ring_ok and j in ring_ok)
+
+    pt = Chem.GetPeriodicTable()
+    positions = np.asarray(xyz, np.float64)
+
+    def calc_valence(atom):
+        return sum(b.GetBondTypeAsDouble() for b in atom.GetBonds())
+
+    # downgrade double/triple on hypervalent atoms, longest first (ref :240-261)
+    nonsingles = []
+    for bond in mol.GetBonds():
+        if bond.GetBondType() in (Chem.BondType.DOUBLE, Chem.BondType.TRIPLE):
+            i, j = bond.GetBeginAtomIdx(), bond.GetEndAtomIdx()
+            nonsingles.append((float(np.linalg.norm(
+                positions[i] - positions[j])), bond))
+    nonsingles.sort(reverse=True, key=lambda t: t[0])
+    for _d, bond in nonsingles:
+        a1, a2 = bond.GetBeginAtom(), bond.GetEndAtom()
+        if (calc_valence(a1) > pt.GetDefaultValence(a1.GetAtomicNum())
+                or calc_valence(a2) > pt.GetDefaultValence(a2.GetAtomicNum())):
+            bond.SetBondType(Chem.BondType.DOUBLE
+                             if bond.GetBondType() == Chem.BondType.TRIPLE
+                             else Chem.BondType.SINGLE)
+
+    for atom in mol.GetAtoms():  # N with 4 neighbors -> N+ (ref :263-266)
+        if atom.GetAtomicNum() == 7 and atom.GetDegree() == 4:
+            atom.SetFormalCharge(1)
+
+    try:
+        Chem.SanitizeMol(mol, Chem.SANITIZE_ALL ^ Chem.SANITIZE_KEKULIZE)
+    except Exception:
+        raise MolReconsError('sanitize (no kekulize) failed')
+
+    # aromatic consistency between atoms and bonds (ref :295-305)
+    for bond in mol.GetBonds():
+        a1, a2 = bond.GetBeginAtom(), bond.GetEndAtom()
+        if bond.GetIsAromatic():
+            if not a1.GetIsAromatic() or not a2.GetIsAromatic():
+                bond.SetIsAromatic(False)
+        elif a1.GetIsAromatic() and a2.GetIsAromatic():
+            bond.SetIsAromatic(True)
+
+    # postprocess_rd_mol_1: radical -> bond-order upgrade (ref :382-421)
+    mol = Chem.RemoveHs(mol, sanitize=False)
+    nbh = {}
+    for bond in mol.GetBonds():
+        b, e = bond.GetBeginAtomIdx(), bond.GetEndAtomIdx()
+        nbh.setdefault(b, []).append(e)
+        nbh.setdefault(e, []).append(b)
+    upgrade = {Chem.BondType.SINGLE: Chem.BondType.DOUBLE,
+               Chem.BondType.DOUBLE: Chem.BondType.TRIPLE}
+    for atom in mol.GetAtoms():
+        idx = atom.GetIdx()
+        num_radical = atom.GetNumRadicalElectrons()
+        if num_radical > 0:
+            for j in nbh.get(idx, []):
+                if j <= idx:
+                    continue
+                nb = mol.GetAtomWithIdx(j)
+                if nb.GetNumRadicalElectrons() > 0:
+                    bond = mol.GetBondBetweenAtoms(idx, j)
+                    if bond.GetBondType() in upgrade:
+                        bond.SetBondType(upgrade[bond.GetBondType()])
+                        nb.SetNumRadicalElectrons(
+                            nb.GetNumRadicalElectrons() - 1)
+                        num_radical -= 1
+            atom.SetNumRadicalElectrons(num_radical)
+        num_radical = atom.GetNumRadicalElectrons()
+        if num_radical > 0:
+            atom.SetNumRadicalElectrons(0)
+            atom.SetNumExplicitHs(atom.GetNumExplicitHs() + num_radical)
+
+    # postprocess_rd_mol_2: 3-ring non-carbon / O-O fixes (ref :424-458)
+    edit = Chem.RWMol(mol)
+    rings = [set(r) for r in mol.GetRingInfo().AtomRings()]
+    for ring in rings:
+        if len(ring) != 3:
+            continue
+        non_c = [i for i in ring
+                 if mol.GetAtomWithIdx(i).GetSymbol() != 'C']
+        oxy = [i for i in ring if mol.GetAtomWithIdx(i).GetSymbol() == 'O']
+        if len(non_c) == 2:
+            edit.RemoveBond(*non_c)
+        if len(oxy) == 2:
+            if edit.GetBondBetweenAtoms(*oxy) is not None:
+                edit.RemoveBond(*oxy)
+            for o in oxy:
+                a = edit.GetAtomWithIdx(o)
+                a.SetNumExplicitHs(a.GetNumExplicitHs() + 1)
+    mol = edit.GetMol()
+    for atom in mol.GetAtoms():
+        if atom.GetFormalCharge() > 0 and not (
+                atom.GetAtomicNum() == 7 and atom.GetDegree() == 4):
+            atom.SetFormalCharge(0)
+    try:
+        Chem.SanitizeMol(mol, Chem.SANITIZE_ALL ^ Chem.SANITIZE_KEKULIZE)
+    except Exception:
+        raise MolReconsError('post-process sanitize failed')
+    return mol
 
 
 def reconstruct_from_generated(xyz, atomic_nums, aromatic=None,
                                basic_mode=True):
-    """Geometry-only reconstruction (ref utils/reconstruct.py:461-524).
-
-    Bonds from covalent radii; aromatic flags (when provided by the
-    add_aromatic atom typing) mark ring bonds aromatic. With RDKit installed
-    the perceived graph is handed to the repair cascade.
-    """
-    bonds, charges = perceive_bonds(xyz, atomic_nums)
-    if aromatic is not None:
-        aro = np.asarray(aromatic, bool)
-        for (a, b) in list(bonds):
-            if aro[a] and aro[b]:
-                bonds[(a, b)] = 4
-    if HAS_RDKIT:
-        mol = _rdkit_build(xyz, atomic_nums, bonds)
-        return _rdkit_repair_cascade(mol.GetMol(), True)
-    record = _record_from_bonds(atomic_nums, xyz, bonds, charges)
-    if record.bond_index.size == 0 and len(atomic_nums) > 1:
+    """Geometry-only reconstruction — the full liGAN cascade
+    (ref utils/reconstruct.py:461-524): connect_the_dots with stretch
+    pruning + hypervalency repair, fixup aromatic hints, ring aromatic
+    majority vote, geometric bond-order perception, radical/3-ring
+    postprocess. basic_mode=True ignores the aromatic indicators, matching
+    every reference call site (ref sample_diffusion_decomp.py:431,
+    guidance_funcs.py:137)."""
+    from decompdiff_tpu.reconstruct import ligan
+    indicators = None if basic_mode else aromatic
+    bonds, flags = ligan.perceive_molecule(xyz, atomic_nums, indicators)
+    if not bonds and len(atomic_nums) > 1:
         raise MolReconsError('no bonds perceived')
+    if HAS_RDKIT:
+        return _rdkit_from_perceived(xyz, atomic_nums, bonds, flags)
+    bonds, charges = ligan.postprocess_record(
+        xyz, atomic_nums, bonds, np.zeros(len(atomic_nums), np.int64))
+    # final valence validation/repair on the perceived orders
+    bonds, charges = _repair_record(atomic_nums, np.asarray(xyz), bonds,
+                                    check_validity=True)
+    record = _record_from_bonds(atomic_nums, xyz, bonds, charges)
     return record
 
 

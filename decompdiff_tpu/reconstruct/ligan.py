@@ -1,0 +1,426 @@
+"""liGAN-style geometry-only bond perception + repair cascade.
+
+Behavioral port of the reference's OpenBabel-based reconstruction
+(ref utils/reconstruct.py:62-524, itself derived from liGAN fitting.py):
+
+  * connect_the_dots (ref :76-193): covalent-radius candidate bonds
+    (factor 1.3), halogen-pair removal, stretch pruning (>1.2 or <60 deg
+    angles, connectivity-preserving), hypervalency repair in the exact
+    reference order (most valence-constrained atoms first, most stretched
+    bonds first, stretch < 0.9 kept).
+  * fixup (ref :331-367): aromatic indicator hints; ring N/O with >1
+    aromatic neighbors marked aromatic.
+  * ring aromatic majority vote (ref :492-506) + aromatic bond marking
+    (:509-513).
+  * bond-order perception (OpenBabel PerceiveBondOrders role, ref :481,515):
+    geometry-driven — aromatic 5/6-rings from planarity + bond lengths,
+    double/triple upgrades from Pyykko double/triple-bond covalent radii
+    under free-valence accounting (shortest relative excess first).
+  * postprocess (ref :382-458): paired free-valence upgrades (the radical
+    mechanism's role) and 3-ring non-carbon/O-O bond removal.
+
+Everything below is RDKit/OpenBabel-free and operates on plain arrays +
+bond dicts; reconstruct/builder.py hands the perceived graph to the RDKit
+repair cascade when RDKit is present.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from decompdiff_tpu.constants import COVALENT_RADII, MAX_VALENCE
+
+Bond = Tuple[int, int]
+
+# min(openbabel GetMaxBonds, rdkit GetDefaultValence) per the reference's
+# atom_maxb (ref utils/reconstruct.py:113-115); sulfur is raised to 6 by the
+# sulfone check (:117-119)
+MAX_BONDS = {1: 1, 5: 3, 6: 4, 7: 3, 8: 2, 9: 1, 14: 4, 15: 3, 16: 2,
+             17: 1, 34: 2, 35: 1, 53: 1}
+
+# Pyykko covalent radii for double/triple bonds (Pyykko & Atsumi 2009) —
+# drive the geometric bond-order perception
+DOUBLE_RADII = {5: 0.78, 6: 0.67, 7: 0.60, 8: 0.57, 14: 1.07, 15: 1.02,
+                16: 0.94, 34: 1.07}
+TRIPLE_RADII = {6: 0.60, 7: 0.54, 8: 0.53, 14: 1.02, 15: 0.94, 16: 0.95}
+
+AROMATIC_ELEMS = {6, 7, 8, 16}
+AROMATIC_BOND_RANGE = (1.25, 1.48)  # typical aromatic bond lengths (A)
+PLANARITY_TOL = 0.15                # max out-of-plane deviation (A)
+
+
+def _r(z: int) -> float:
+    return COVALENT_RADII.get(int(z), 0.77)
+
+
+def _maxb(element, i, bonds) -> int:
+    z = int(element[i])
+    mb = MAX_BONDS.get(z, 4)
+    if z == 16:  # sulfone check (ref :117-119)
+        n_oxy = sum(1 for (a, b) in bonds
+                    if (a == i and int(element[b]) == 8)
+                    or (b == i and int(element[a]) == 8))
+        if n_oxy >= 2:
+            mb = 6
+    return mb
+
+
+def _degree(i: int, bonds: Dict[Bond, int]) -> int:
+    return sum(1 for (a, b) in bonds if a == i or b == i)
+
+
+def _neighbors(i: int, bonds: Dict[Bond, int]) -> List[int]:
+    out = []
+    for (a, b) in bonds:
+        if a == i:
+            out.append(b)
+        elif b == i:
+            out.append(a)
+    return out
+
+
+def _reachable(a: int, b: int, bonds: Dict[Bond, int]) -> bool:
+    """True if b is reachable from a without the (a, b) bond (ref :41-47)."""
+    if _degree(a, bonds) == 1 or _degree(b, bonds) == 1:
+        return False
+    blocked = (min(a, b), max(a, b))
+    seen = {a}
+    stack = [a]
+    while stack:
+        cur = stack.pop()
+        for nb in _neighbors(cur, bonds):
+            if (min(cur, nb), max(cur, nb)) == blocked and {cur, nb} == {a, b}:
+                continue
+            if nb == b:
+                return True
+            if nb not in seen:
+                seen.add(nb)
+                stack.append(nb)
+    return False
+
+
+def _angle_deg(pos, center, x, y) -> float:
+    u = pos[x] - pos[center]
+    v = pos[y] - pos[center]
+    c = np.dot(u, v) / max(np.linalg.norm(u) * np.linalg.norm(v), 1e-12)
+    return float(np.degrees(np.arccos(np.clip(c, -1.0, 1.0))))
+
+
+def _forms_small_angle(pos, a, b, bonds, cutoff=60.0) -> bool:
+    """Bond (a,b) part of a <60 deg angle with a neighbor of a (ref :50-59)."""
+    for nb in _neighbors(a, bonds):
+        if nb != b and _angle_deg(pos, a, b, nb) < cutoff:
+            return True
+    return False
+
+
+def _stretch(pos, element, a, b) -> float:
+    d = float(np.linalg.norm(pos[a] - pos[b]))
+    return d / (_r(element[a]) + _r(element[b]))
+
+
+def connect_the_dots(pos, element, indicators=None,
+                     covalent_factor: float = 1.3) -> Dict[Bond, int]:
+    """ref utils/reconstruct.py:76-193, returning {(a<b): order-1 bonds}
+    with aromatic candidates recorded in the companion flag set."""
+    pos = np.asarray(pos, np.float64)
+    n = len(element)
+    bonds: Dict[Bond, int] = {}
+    if n == 0:
+        return bonds
+
+    # candidate bonds within covalent_factor * (ra + rb) (ref :100-109)
+    d = np.linalg.norm(pos[:, None] - pos[None], axis=-1)
+    for i, j in itertools.combinations(range(n), 2):
+        if d[i, j] < (_r(element[i]) + _r(element[j])) * covalent_factor:
+            bonds[(i, j)] = 1
+
+    # remove impossible halogen-halogen bonds (ref :127-132)
+    for (a, b) in list(bonds):
+        if (_maxb(element, a, bonds) == 1 and _maxb(element, b, bonds) == 1):
+            del bonds[(a, b)]
+
+    # stretch pruning, most stretched first (ref :149-165)
+    binfo = sorted(bonds, key=lambda ab: -_stretch(pos, element, *ab))
+    for (a, b) in binfo:
+        if (a, b) not in bonds:
+            continue
+        if (_stretch(pos, element, a, b) > 1.2
+                or _forms_small_angle(pos, a, b, bonds)
+                or _forms_small_angle(pos, b, a, bonds)):
+            if not _reachable(a, b, bonds):
+                continue
+            del bonds[(a, b)]
+
+    # hypervalency repair: most constrained atoms first (ref :167-191)
+    def explicit_valence(i):
+        return _degree(i, bonds)
+
+    hypers = sorted(
+        range(n),
+        key=lambda i: (_maxb(element, i, bonds),
+                       -(explicit_valence(i) - _maxb(element, i, bonds))))
+    for atom in hypers:
+        if explicit_valence(atom) <= _maxb(element, atom, bonds):
+            continue
+        abonds = sorted((ab for ab in bonds if atom in ab),
+                        key=lambda ab: -_stretch(pos, element, *ab))
+        for (a, b) in abonds:
+            if (a, b) not in bonds:
+                continue
+            if _stretch(pos, element, a, b) < 0.9:  # too close to remove
+                continue
+            if (explicit_valence(a) > _maxb(element, a, bonds)
+                    or explicit_valence(b) > _maxb(element, b, bonds)):
+                if not _reachable(a, b, bonds):
+                    continue
+                del bonds[(a, b)]
+                if explicit_valence(atom) <= _maxb(element, atom, bonds):
+                    break
+    return bonds
+
+
+# ---------------------------------------------------------------------------
+# rings
+# ---------------------------------------------------------------------------
+
+def find_rings(n_atoms: int, bonds: Dict[Bond, int],
+               max_size: int = 8) -> List[List[int]]:
+    """Small-ring set from the fundamental cycle basis of a BFS forest,
+    shrunk to smallest cycles (SSSR role for drug-size molecules)."""
+    adj = {i: set() for i in range(n_atoms)}
+    for (a, b) in bonds:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    rings = []
+    seen_rings = set()
+    # BFS shortest-path ring detection: for every bond, the smallest ring
+    # through it is (shortest path between endpoints avoiding the bond) + bond
+    for (a, b) in bonds:
+        # BFS from a to b without using edge (a, b)
+        prev = {a: None}
+        queue = [a]
+        found = False
+        while queue and not found:
+            nxt = []
+            for cur in queue:
+                for nb in sorted(adj[cur]):
+                    if cur == a and nb == b:
+                        continue
+                    if nb not in prev:
+                        prev[nb] = cur
+                        if nb == b:
+                            found = True
+                            break
+                        nxt.append(nb)
+                if found:
+                    break
+            queue = nxt
+        if not found:
+            continue
+        path = [b]
+        while path[-1] is not None:
+            p = prev[path[-1]]
+            if p is None:
+                break
+            path.append(p)
+        if len(path) > max_size:
+            continue
+        key = frozenset(path)
+        if key not in seen_rings:
+            seen_rings.add(key)
+            rings.append(path)
+    return rings
+
+
+def _ring_planarity(pos, ring) -> float:
+    """Max out-of-plane deviation from the best-fit plane."""
+    pts = pos[list(ring)]
+    centered = pts - pts.mean(0)
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    normal = vt[-1]
+    return float(np.abs(centered @ normal).max())
+
+
+# ---------------------------------------------------------------------------
+# fixup + aromatic perception
+# ---------------------------------------------------------------------------
+
+def fixup_aromatic_flags(element, pos, bonds, indicators,
+                         rings) -> np.ndarray:
+    """Atom aromatic flags from the model's indicator channel (ref fixup
+    :331-367) or, without indicators, from ring geometry (OpenBabel
+    perception role): planar 5/6-rings of aromatic-capable elements with
+    bond lengths in the aromatic range."""
+    n = len(element)
+    flags = np.zeros(n, bool)
+    pos = np.asarray(pos, np.float64)
+    if indicators is not None:
+        flags[:] = np.asarray(indicators, bool)[:n]
+    else:
+        for ring in rings:
+            if not 5 <= len(ring) <= 6:
+                continue
+            if not all(int(element[i]) in AROMATIC_ELEMS for i in ring):
+                continue
+            ring_bonds = [(a, b) for (a, b) in bonds
+                          if a in ring and b in ring]
+            if len(ring_bonds) < len(ring):
+                continue
+            lengths = [np.linalg.norm(pos[a] - pos[b]) for a, b in ring_bonds]
+            if not all(AROMATIC_BOND_RANGE[0] <= l <= AROMATIC_BOND_RANGE[1]
+                       for l in lengths):
+                continue
+            if _ring_planarity(pos, ring) > PLANARITY_TOL:
+                continue
+            for i in ring:
+                flags[i] = True
+
+    # ring N/O with >1 aromatic neighbors join the ring system (ref :358-367)
+    in_ring = {i for ring in rings for i in ring}
+    changed = True
+    while changed:
+        changed = False
+        for i in range(n):
+            if flags[i] or int(element[i]) not in (7, 8) or i not in in_ring:
+                continue
+            acnt = sum(1 for nb in _neighbors(i, bonds) if flags[nb])
+            if acnt > 1:
+                flags[i] = True
+                changed = True
+    return flags
+
+
+def aromatic_majority_vote(element, flags, rings) -> np.ndarray:
+    """Rings where >= half the carbons are aromatic (but not all ring atoms)
+    become fully aromatic (ref :492-506)."""
+    flags = flags.copy()
+    for ring in rings:
+        if not 5 <= len(ring) <= 6:
+            continue
+        carbons = [i for i in ring if int(element[i]) == 6]
+        aro_c = sum(1 for i in carbons if flags[i])
+        n_aro = sum(1 for i in ring if flags[i])
+        if carbons and aro_c >= len(carbons) / 2 and n_aro != len(ring):
+            for i in ring:
+                flags[i] = True
+    return flags
+
+
+# ---------------------------------------------------------------------------
+# bond-order perception
+# ---------------------------------------------------------------------------
+
+_ORDER_VALENCE = {1: 1.0, 2: 2.0, 3: 3.0, 4: 1.5}
+
+
+def _free_valence(element, i, bonds, charges=None) -> float:
+    z = int(element[i])
+    used = sum(_ORDER_VALENCE[t] for (a, b), t in bonds.items()
+               if a == i or b == i)
+    maxv = MAX_VALENCE.get(z, 4)
+    if charges is not None and charges[i] > 0:
+        maxv += 1
+    return maxv - used
+
+
+def perceive_bond_orders(pos, element, bonds: Dict[Bond, int],
+                         aromatic_flags) -> Dict[Bond, int]:
+    """Assign aromatic/double/triple orders to an order-1 graph
+    (OpenBabel PerceiveBondOrders role, ref :481,515).
+
+    Aromatic bonds between aromatic ring atoms first (ref :509-513), then
+    geometric double/triple upgrades (Pyykko radii) under free-valence
+    accounting, smallest relative length-excess first.
+    """
+    pos = np.asarray(pos, np.float64)
+    bonds = dict(bonds)
+    rings = find_rings(len(element), bonds)
+    ring_bonds = set()
+    for ring in rings:
+        for (a, b) in bonds:
+            if a in ring and b in ring:
+                ring_bonds.add((a, b))
+
+    for (a, b) in list(bonds):
+        if aromatic_flags[a] and aromatic_flags[b] and (a, b) in ring_bonds:
+            bonds[(a, b)] = 4
+
+    # triple then double candidates, best geometric fit first
+    def candidates(radii, order, tol):
+        out = []
+        for (a, b), t in bonds.items():
+            if t != 1:
+                continue
+            za, zb = int(element[a]), int(element[b])
+            if za not in radii or zb not in radii:
+                continue
+            expected = radii[za] + radii[zb]
+            dist = float(np.linalg.norm(pos[a] - pos[b]))
+            if dist < expected + tol:
+                out.append((dist - expected, (a, b), order))
+        return sorted(out)
+
+    for excess, (a, b), order in (candidates(TRIPLE_RADII, 3, 0.04)
+                                  + candidates(DOUBLE_RADII, 2, 0.06)):
+        if bonds[(a, b)] != 1:
+            continue
+        need = _ORDER_VALENCE[order] - 1.0
+        if (_free_valence(element, a, bonds) >= need
+                and _free_valence(element, b, bonds) >= need):
+            bonds[(a, b)] = order
+    return bonds
+
+
+# ---------------------------------------------------------------------------
+# postprocess (ref :382-458)
+# ---------------------------------------------------------------------------
+
+def postprocess_record(pos, element, bonds: Dict[Bond, int],
+                       charges: np.ndarray):
+    """RDKit-free analog of postprocess_rd_mol_2 (ref :424-451): two
+    non-carbons in a 3-ring lose their bond; an O-O 3-ring bond is always
+    removed; positive charges cleared (ref :454-456) except the N4+ fix.
+
+    postprocess_rd_mol_1's radical -> bond-order upgrade has no RDKit-free
+    analog: radicals only exist once explicit hydrogen counts are fixed,
+    and in the MolRecord representation implicit hydrogens always fill the
+    remaining valence; the geometric perceive_bond_orders already covers
+    the multiple-bond assignment that mechanism repairs.
+    """
+    pos = np.asarray(pos, np.float64)
+    bonds = dict(bonds)
+    rings = find_rings(len(element), bonds, max_size=3)
+    for ring in rings:
+        if len(ring) != 3:
+            continue
+        non_c = [i for i in ring if int(element[i]) != 6]
+        oxy = [i for i in ring if int(element[i]) == 8]
+        if len(non_c) == 2:
+            key = (min(non_c), max(non_c))
+            bonds.pop(key, None)
+        if len(oxy) == 2:
+            key = (min(oxy), max(oxy))
+            bonds.pop(key, None)
+    return bonds, charges
+
+
+def perceive_molecule(pos, element, indicators=None,
+                      covalent_factor: float = 1.3):
+    """The full geometry-only cascade (ref reconstruct_from_generated
+    :461-524) up to the point of handing off to RDKit:
+
+    returns (bonds {(a<b): type 1/2/3/4}, aromatic_flags [n] bool).
+    """
+    pos = np.asarray(pos, np.float64)
+    element = np.asarray(element)
+    bonds = connect_the_dots(pos, element, indicators, covalent_factor)
+    rings = find_rings(len(element), bonds)
+    flags = fixup_aromatic_flags(element, pos, bonds, indicators, rings)
+    flags = aromatic_majority_vote(element, flags, rings)
+    bonds = perceive_bond_orders(pos, element, bonds, flags)
+    return bonds, flags

@@ -189,8 +189,13 @@ def main():
                     entry['bond_traj'] = np.asarray(
                         traj['bond'])[:, s][:, m][:, :, m]
             try:
+                # without bond diffusion the bond channel is untrained noise:
+                # reconstruct geometry-only (ref sample_diffusion_decomp.py
+                # :424-431 recon_with_bond)
                 mol = mol_record_from_prediction(
-                    pred_pos, pred_v, pred_bond, atom_mode=atom_mode)
+                    pred_pos, pred_v,
+                    pred_bond if model.bond_diffusion else None,
+                    atom_mode=atom_mode)
                 entry['mol'] = mol
                 entry['complete'] = is_connected(mol)
                 if not hasattr(mol, 'bond_index'):  # rdkit mol
