@@ -1,0 +1,21 @@
+#!/bin/bash
+# BASELINE.json config 2: ref_prior decomposed priors, full 1000 steps,
+# 20 mols/pocket.
+set -e
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/ddtpu_cache}
+STORE=${STORE:-./data/synth64.ddstore}
+CKPT=${CKPT:?set CKPT=path/to/checkpoint.ckpt}
+OUT=${OUT:-benchmarks/artifacts/bench2}
+TMP=$(mktemp)
+python - <<PY
+import yaml
+cfg = yaml.safe_load(open('configs/sampling.yml'))
+cfg['data']['path'] = '$STORE'
+cfg['data'].pop('split', None)
+cfg['sample'].update(num_samples=20, num_steps=1000, sample_num_atoms='ref',
+                     energy_drift=[])
+yaml.safe_dump(cfg, open('$TMP', 'w'))
+PY
+time python scripts/sample.py $TMP --ckpt "$CKPT" -i "${POCKET:-0}" \
+    --outdir "$OUT" --batch_size "${BATCH:-20}" --use_pallas

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import Counter
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -38,6 +39,10 @@ class BucketedLoader:
         self.buckets = (protein_buckets, ligand_buckets, group_buckets)
         self.infinite = infinite
         self.drop_oversize = drop_oversize
+        # featurization failures counted by exception type (the reference's
+        # preprocessing logs typed fail buckets, ref preprocess_subcomplex.py
+        # :245-262; a silently shrunken corpus must be observable)
+        self.skip_counts: Counter = Counter()
         self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._producer, daemon=True)
@@ -51,8 +56,10 @@ class BucketedLoader:
             for idx in order:
                 try:
                     yield self.dataset[int(idx)]
-                except Exception:
-                    continue  # error-bucket robustness (skip bad samples)
+                except Exception as e:
+                    # error-bucket robustness: skip bad samples, but count
+                    self.skip_counts[type(e).__name__] += 1
+                    continue
             if not self.infinite:
                 return
 
@@ -67,6 +74,7 @@ class BucketedLoader:
                     key = bucket_key(rec, pb, lb, gb)
                 except ValueError:
                     if self.drop_oversize:
+                        self.skip_counts['oversize'] += 1
                         continue
                     raise
                 pending.setdefault(key, []).append(rec)

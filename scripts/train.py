@@ -194,6 +194,10 @@ def main():
                     {**{k: float(v) for k, v in metrics.items()},
                      'lr': get_learning_rate(state.opt_state)})
             if it % val_freq == 0 or it == max_iters:
+                if train_loader.skip_counts:
+                    logger.warning(
+                        'loader skipped samples so far: '
+                        f'{dict(train_loader.skip_counts)}')
                 val_loss = validate(it)
                 lr = get_learning_rate(state.opt_state)
                 new_lr = scheduler.step(val_loss, lr)
