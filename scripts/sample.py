@@ -109,10 +109,26 @@ def main():
                       if num_atoms_mode == 'stat' else None)
 
     energy_drift = tuple(dict(d) for d in scfg.get('energy_drift', []))
+    # mmff_min is the one host-coupled drift: wire its pure_callback + the
+    # active window (ref models/decompdiff.py:669-672 gates on
+    # [end_time, start_time)); raises informatively without RDKit
+    mmff_kwargs = {}
+    for d in energy_drift:
+        if d['type'] == 'mmff_min':
+            from decompdiff_tpu.guidance.mmff import make_mmff_callback
+            mmff_kwargs = dict(
+                mmff_callback=make_mmff_callback(atom_mode),
+                mmff_start_time=int(d.get('start_time', 0)),
+                mmff_end_time=int(d.get('end_time', 0)))
+    num_steps = scfg.get('num_steps', model.num_timesteps)
+    if num_steps > model.num_timesteps:
+        logger.warning(f'num_steps {num_steps} > model timesteps '
+                       f'{model.num_timesteps}; clamping')
+        num_steps = model.num_timesteps
     sample_config = SampleConfig(
-        num_steps=scfg.get('num_steps', model.num_timesteps),
+        num_steps=num_steps,
         save_traj=args.save_traj,
-        energy_drift=energy_drift)
+        energy_drift=energy_drift, **mmff_kwargs)
 
     full_protein = None
     if any(d['type'] == 'clash' for d in energy_drift):
