@@ -5,6 +5,7 @@ set -e
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/ddtpu_cache}
 STORE=${STORE:-./data/synth64.ddstore}
+[ -f "$STORE" ] || python scripts/make_synthetic_data.py --out "$STORE" --n 64 --seed 0
 CKPT=${CKPT:?set CKPT=path/to/checkpoint.ckpt}
 OUT=${OUT:-benchmarks/artifacts/bench2}
 TMP=$(mktemp)

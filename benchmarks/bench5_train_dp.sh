@@ -10,6 +10,7 @@ if [ "${VIRTUAL_MESH:-0}" = "1" ]; then
     export XLA_FLAGS="--xla_force_host_platform_device_count=8"
 fi
 STORE=${STORE:-./data/synth256.ddstore}
+[ -f "$STORE" ] || python scripts/make_synthetic_data.py --out "$STORE" --n 256 --seed 0
 TMP=$(mktemp)
 python - <<PY
 import yaml

@@ -82,6 +82,14 @@ def collate(records: List[dict],
     num_arms = np.array([r['num_arms'] for r in records], np.int32)
 
     bond_mask = native.fc_bond_masks(l_counts, Nl)
+    if any('bond_graph_mask' in r for r in records):
+        # restricted bond graphs (decomp_fc / scaffold_fc modes,
+        # ref utils/transforms.py:339-378)
+        gmask = np.stack([
+            _pad_to(np.asarray(r['bond_graph_mask'], bool), (Nl, Nl))
+            if 'bond_graph_mask' in r else np.ones((Nl, Nl), bool)
+            for r in records])
+        bond_mask = bond_mask & gmask
     bond_type = np.where(bond_mask, bond_type, 0)
 
     return ComplexBatch(

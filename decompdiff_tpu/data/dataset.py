@@ -180,11 +180,16 @@ class DecompDataset:
     """Store + featurization + split (ref get_decomp_dataset :23-43)."""
 
     def __init__(self, store: DDStore, prior_mode: str = 'ref_prior',
-                 ligand_atom_mode: str = 'basic', random_rot: bool = False):
+                 ligand_atom_mode: str = 'basic', random_rot: bool = False,
+                 ligand_bond_mode: str = 'fc', add_ord_feat: bool = False,
+                 max_num_arms: int = 10):
         self.store = store
         self.prior_mode = prior_mode
         self.ligand_atom_mode = ligand_atom_mode
         self.random_rot = random_rot
+        self.ligand_bond_mode = ligand_bond_mode
+        self.add_ord_feat = add_ord_feat
+        self.max_num_arms = max_num_arms
 
     def __len__(self):
         return len(self.store)
@@ -196,6 +201,9 @@ class DecompDataset:
         return featurize_sample(
             self.store[idx], prior_mode=self.prior_mode,
             ligand_atom_mode=self.ligand_atom_mode,
+            ligand_bond_mode=self.ligand_bond_mode,
+            add_ord_feat=self.add_ord_feat,
+            max_num_arms=self.max_num_arms,
             random_rot=self.random_rot)
 
     def split_by_names(self, split: Dict[str, List[str]]) -> Dict[str, List[int]]:

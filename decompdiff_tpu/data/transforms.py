@@ -96,23 +96,71 @@ def compute_noise_dist(sample: dict, version: str) -> dict:
     return {'centers': centers, 'stds': stds, 'num_atoms': num_atoms}
 
 
-def add_decomp_indicator(sample: dict) -> dict:
+def add_decomp_indicator(sample: dict, add_ord_feat: bool = False,
+                         max_num_arms: int = 10) -> dict:
     """Arm/scaffold indicators (ref :257-320). Returns
-    {'ligand_aux' [Nl, 2], 'protein_contact' [Np, 2], 'decomp_idx' [Nl]}."""
+    {'ligand_aux' [Nl, 2(+A)], 'protein_contact' [Np, 2(+A)],
+    'decomp_idx' [Nl]}.
+
+    add_ord_feat (ref :296-303,316-319; released config has it False)
+    prepends a one-hot of the arm/scaffold index (A = max_num_arms + 1
+    classes) to the ligand aux feature and inserts an A-wide block into the
+    protein feature. NOTE: the reference's protein block is all zeros — its
+    `protein_arm_scaffold_index[mask][arm_id] = 1` writes into a copy
+    (ref :310-313) — and we reproduce that behavior exactly so feature
+    values match a reference checkpoint."""
     atom_mask = np.asarray(sample['ligand_atom_mask'])
     num_arms = int(sample['num_arms'])
+    num_classes = max_num_arms + 1
     decomp_idx = atom_mask.copy()
     decomp_idx[decomp_idx == -1] = num_arms
     arm_ind = np.eye(2, dtype=np.float32)[(atom_mask >= 0).astype(np.int64)]
+    if add_ord_feat:
+        arm_scaffold = np.eye(num_classes, dtype=np.float32)[decomp_idx]
+        ligand_aux = np.concatenate([arm_scaffold, arm_ind], -1)
+    else:
+        ligand_aux = arm_ind
 
     pocket_masks = np.asarray(sample['pocket_atom_masks'])
+    n_prot = len(sample['protein_pos'])
     if pocket_masks.size:
         in_pocket = (pocket_masks.sum(0) > 0).astype(np.int64)
     else:
-        in_pocket = np.zeros(len(sample['protein_pos']), np.int64)
+        in_pocket = np.zeros(n_prot, np.int64)
     protein_ind = np.eye(2, dtype=np.float32)[in_pocket]
-    return {'ligand_aux': arm_ind, 'protein_contact': protein_ind,
+    if add_ord_feat:
+        protein_ind = np.concatenate(
+            [np.zeros((n_prot, num_classes), np.float32), protein_ind], -1)
+    return {'ligand_aux': ligand_aux, 'protein_contact': protein_ind,
             'decomp_idx': decomp_idx.astype(np.int64)}
+
+
+def bond_graph_mask(mode: str, atom_mask, num_arms: int) -> np.ndarray:
+    """Directed ligand bond-graph mask [Nl(dst), Nl(src)] per
+    FeaturizeLigandBond mode (ref :323-378):
+      * 'fc':          all ordered pairs i != j
+      * 'decomp_fc':   fully-connected within each arm and within the
+                       scaffold (ref :339-353)
+      * 'scaffold_fc': fully-connected within each arm, plus edges from
+                       every scaffold atom to every atom (ref :354-378 —
+                       note the reference only emits scaffold->all, so the
+                       graph is directed)
+    atom_mask is the per-atom arm id with scaffold = -1."""
+    atom_mask = np.asarray(atom_mask)
+    n = len(atom_mask)
+    neq = ~np.eye(n, dtype=bool)
+    if mode == 'fc':
+        return neq
+    if mode == 'decomp_fc':
+        same = atom_mask[:, None] == atom_mask[None, :]
+        return same & neq
+    if mode == 'scaffold_fc':
+        is_arm = atom_mask >= 0
+        same_arm = ((atom_mask[:, None] == atom_mask[None, :])
+                    & is_arm[:, None] & is_arm[None, :])
+        src_scaffold = np.broadcast_to((atom_mask == -1)[None, :], (n, n))
+        return (same_arm | src_scaffold) & neq
+    raise ValueError(mode)
 
 
 def dense_bond_matrix(num_atoms: int, bond_index, bond_type) -> np.ndarray:
@@ -135,6 +183,9 @@ def random_rotation(rng: np.random.Generator, *pos_arrays):
 
 def featurize_sample(sample: dict, prior_mode: str = 'ref_prior',
                      ligand_atom_mode: str = 'basic',
+                     ligand_bond_mode: str = 'fc',
+                     add_ord_feat: bool = False,
+                     max_num_arms: int = 10,
                      random_rot: bool = False,
                      rng: np.random.Generator | None = None) -> dict:
     """Full L2 pipeline on one raw sample dict -> flat numpy record.
@@ -159,12 +210,20 @@ def featurize_sample(sample: dict, prior_mode: str = 'ref_prior',
         sample['ligand_element'], sample.get('ligand_hybridization'),
         sample.get('ligand_atom_is_aromatic'), mode=ligand_atom_mode)
     noise = compute_noise_dist(sample, prior_mode)
-    ind = add_decomp_indicator(sample)
+    ind = add_decomp_indicator(sample, add_ord_feat=add_ord_feat,
+                               max_num_arms=max_num_arms)
     protein_feat = np.concatenate([protein_feat, ind['protein_contact']], -1)
     nl = len(sample['ligand_element'])
     bond_mat = dense_bond_matrix(nl, sample.get('ligand_bond_index'),
                                  sample.get('ligand_bond_type'))
+    extra = {}
+    if ligand_bond_mode != 'fc':
+        gmask = bond_graph_mask(ligand_bond_mode, sample['ligand_atom_mask'],
+                                int(sample['num_arms']))
+        bond_mat = np.where(gmask, bond_mat, 0)
+        extra['bond_graph_mask'] = gmask
     return {
+        **extra,
         'protein_pos': np.asarray(sample['protein_pos'], np.float32),
         'protein_feat': protein_feat,
         'ligand_pos': np.asarray(sample['ligand_pos'], np.float32),

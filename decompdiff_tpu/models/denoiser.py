@@ -205,7 +205,8 @@ class DecompDenoiser(nn.Module):
                 cutoff_mode=cfg.get('cutoff_mode', 'knn'),
                 r_max=cfg.get('r_max', 10.0),
                 name='refine_net')
-            outputs = refine(h_all, pos_all, mask_all, mask_ligand, movable)
+            outputs = refine(h_all, pos_all, mask_all, mask_ligand, movable,
+                             num_protein=Np)
         else:
             raise ValueError(model_type)
 

@@ -166,7 +166,7 @@ class UniTransformerO2(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, mask_all, mask_ligand, movable_mask,
-                 fix_x=False):
+                 fix_x=False, num_protein=None):
         layers = [AttentionLayerO2(
             self.hidden_dim, self.n_heads, self.edge_feat_dim,
             self.num_x2h, self.num_h2x, self.ew_net_type, self.x2h_out_fc,
@@ -174,13 +174,20 @@ class UniTransformerO2(nn.Module):
             for i in range(self.num_layers)]
 
         for _ in range(self.num_blocks):
-            nbr_idx, nbr_mask = knn_neighbors(x, mask_all, self.k)
-            if self.cutoff_mode == 'radius':
-                xj0 = gather_nodes(x, nbr_idx)
-                d0 = safe_norm(x[:, :, None, :] - xj0, axis=-1)
-                nbr_mask = nbr_mask & (d0 <= self.r_max)
-            elif self.cutoff_mode != 'knn':
-                raise NotImplementedError(self.cutoff_mode)
+            if self.cutoff_mode == 'hybrid':
+                # ref batch_hybrid_edge_connection (models/common.py:250-277)
+                assert num_protein is not None
+                from decompdiff_tpu.ops.knn import hybrid_neighbors
+                nbr_idx, nbr_mask = hybrid_neighbors(
+                    x, mask_all, mask_ligand, self.k, num_protein)
+            else:
+                nbr_idx, nbr_mask = knn_neighbors(x, mask_all, self.k)
+                if self.cutoff_mode == 'radius':
+                    xj0 = gather_nodes(x, nbr_idx)
+                    d0 = safe_norm(x[:, :, None, :] - xj0, axis=-1)
+                    nbr_mask = nbr_mask & (d0 <= self.r_max)
+                elif self.cutoff_mode != 'knn':
+                    raise NotImplementedError(self.cutoff_mode)
             lig_src = gather_nodes(
                 mask_ligand[..., None].astype(jnp.float32), nbr_idx)[..., 0] > 0.5
             lig_dst = mask_ligand[:, :, None]

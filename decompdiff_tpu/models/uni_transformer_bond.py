@@ -614,19 +614,25 @@ class UniTransformerBond(nn.Module):
             for i in range(self.num_layers)]
 
         for _ in range(self.num_blocks):
-            nbr_idx, nbr_mask = knn_neighbors(x, mask_all, self.k)
-            if self.cutoff_mode == 'radius':
-                # radius graph with an implicit max degree of k
-                # (ref _connect_edge, uni_transformer_edge.py:349-359)
-                xj0 = gather_nodes(x, nbr_idx)
-                d0 = safe_norm(x[:, :, None, :] - xj0, axis=-1)
-                nbr_mask = nbr_mask & (d0 <= self.r_max)
-            elif self.cutoff_mode != 'knn':
-                raise NotImplementedError(
-                    f'cutoff_mode {self.cutoff_mode!r}: the padded layout '
-                    "supports 'knn' and capped-degree 'radius'; the "
-                    "reference's 'hybrid' mode is not used by any released "
-                    'config')
+            if self.cutoff_mode == 'hybrid':
+                # ligand fc + ligand->protein kNN + protein kNN
+                # (ref batch_hybrid_edge_connection, models/common.py:250-277)
+                assert not self.use_pallas, \
+                    'hybrid cutoff mode runs the dense XLA path only'
+                from decompdiff_tpu.ops.knn import hybrid_neighbors
+                nbr_idx, nbr_mask = hybrid_neighbors(
+                    x, mask_all, mask_ligand, self.k, num_protein)
+            else:
+                nbr_idx, nbr_mask = knn_neighbors(x, mask_all, self.k)
+                if self.cutoff_mode == 'radius':
+                    # radius graph with an implicit max degree of k
+                    # (ref _connect_edge, uni_transformer_edge.py:349-359)
+                    xj0 = gather_nodes(x, nbr_idx)
+                    d0 = safe_norm(x[:, :, None, :] - xj0, axis=-1)
+                    nbr_mask = nbr_mask & (d0 <= self.r_max)
+                elif self.cutoff_mode != 'knn':
+                    raise NotImplementedError(
+                        f'cutoff_mode {self.cutoff_mode!r}')
 
             # 4-way ll/lp/pl/pp edge typing, src=j -> dst=i
             # (ref uni_transformer_edge.py:361-392)

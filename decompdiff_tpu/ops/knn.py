@@ -46,3 +46,53 @@ def knn_neighbors(pos: jnp.ndarray, mask: jnp.ndarray, k: int):
     neg_d2, nbr_idx = jax.lax.top_k(-d2, k)  # [B, N, K]
     nbr_mask = (neg_d2 > -big) & mask[:, :, None]
     return nbr_idx.astype(jnp.int32), nbr_mask
+
+
+def hybrid_neighbors(pos: jnp.ndarray, mask: jnp.ndarray,
+                     mask_ligand: jnp.ndarray, k: int, num_protein: int):
+    """The reference's 'hybrid' edge connection in padded form
+    (ref models/common.py:230-277 batch_hybrid_edge_connection with
+    add_p_index=True):
+
+      * ligand(+prior) destination rows: fully connected to every other
+        real ligand node, plus the k nearest real protein atoms;
+      * protein destination rows: the k nearest real neighbors of any kind.
+
+    Context layout is [protein | ligand(+prior)] with the protein block a
+    static prefix of `num_protein` columns. Returns ([B, N, L + k] indices,
+    mask) where L = N - num_protein (the ligand block width).
+
+    Args:
+        pos:         [B, N, 3]
+        mask:        [B, N] real nodes
+        mask_ligand: [B, N] ligand(+prior) nodes
+        num_protein: static protein block size
+    """
+    B, n, _ = pos.shape
+    L = n - num_protein
+    d2 = pairwise_sqdist(pos, pos)
+    big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
+    eye = jnp.eye(n, dtype=bool)
+
+    # slot block 1 [L]: the ligand block columns, fc for ligand dst rows
+    lig_cols = jnp.arange(num_protein, n, dtype=jnp.int32)
+    fc_idx = jnp.broadcast_to(lig_cols[None, None, :], (B, n, L))
+    src_real = mask[:, None, :] & mask_ligand[:, None, :]
+    fc_valid = jnp.take_along_axis(
+        src_real & ~eye[None], fc_idx, axis=2)
+    fc_valid = fc_valid & mask_ligand[:, :, None]  # only ligand dst rows
+
+    # slot block 2 [k]: ligand dst -> k nearest protein; protein dst -> k
+    # nearest anything (add_p_index=True)
+    src_protein_ok = mask & ~mask_ligand                       # [B, N]
+    allowed = jnp.where(mask_ligand[:, :, None],               # per dst row
+                        src_protein_ok[:, None, :],
+                        mask[:, None, :])
+    d2k = jnp.where(allowed & ~eye[None], d2, big)
+    neg_d2, knn_idx = jax.lax.top_k(-d2k, k)
+    knn_valid = (neg_d2 > -big) & mask[:, :, None]
+
+    nbr_idx = jnp.concatenate([fc_idx, knn_idx.astype(jnp.int32)], axis=2)
+    nbr_mask = jnp.concatenate([fc_valid & mask[:, :, None], knn_valid],
+                               axis=2)
+    return nbr_idx, nbr_mask

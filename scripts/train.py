@@ -71,6 +71,9 @@ def main():
         store,
         prior_mode=config.data.get('prior_mode', 'ref_prior'),
         ligand_atom_mode=config.data.transform.get('ligand_atom_mode', 'basic'),
+        ligand_bond_mode=config.data.transform.get('ligand_bond_mode', 'fc'),
+        add_ord_feat=config.data.transform.get('add_ord_feat', False),
+        max_num_arms=config.data.transform.get('max_num_arms', 10),
         random_rot=config.data.transform.get('random_rot', False))
     split_path = config.data.get('split')
     if split_path and os.path.exists(split_path):
