@@ -24,7 +24,7 @@ E(3)-equivariant in ligand positions and invariant in features.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,12 +37,40 @@ from decompdiff_tpu.models.common import (
 from decompdiff_tpu.ops.knn import knn_neighbors, pairwise_sqdist
 
 
+class EdgeData(NamedTuple):
+    """Per-block kNN edge data shared by the two edge-attention streams.
+
+    The dense XLA path consumes precomputed per-edge geometry and typing
+    (rel_x/dist/edge_type, gathered once per layer/block); the Pallas path
+    instead carries the raw ingredients (coords, flat neighbor indices, per-
+    node ligand/group flags) and recomputes geometry + typing in VMEM, so the
+    only HBM gather per stream is the wide [N*K, H+4] feature row gather.
+    """
+    nbr_idx: jnp.ndarray                       # [B, N, K] int32
+    nbr_mask: jnp.ndarray                      # [B, N, K] bool
+    # dense-path fields
+    rel_x: Optional[jnp.ndarray] = None        # [B, N, K, 3]
+    dist: Optional[jnp.ndarray] = None         # [B, N, K]
+    edge_type: Optional[jnp.ndarray] = None    # [B, N, K, n_etypes]
+    # pallas-path fields
+    x4: Optional[jnp.ndarray] = None           # [B, N, 4] dst coords
+    idx_flat: Optional[jnp.ndarray] = None     # [B, N*K, 1] int32
+    mld: Optional[jnp.ndarray] = None          # [B, N, 2] [is_ligand, group]
+    gsrc_flat: Optional[jnp.ndarray] = None    # [B, N*K, 1] src group ids
+
+
 def _heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
     return x.reshape(x.shape[:-1] + (n_heads, x.shape[-1] // n_heads))
 
 
 def gather_nodes(h: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
-    """h [B, N, F], nbr_idx [B, N, K] -> [B, N, K, F]."""
+    """h [B, N, F], nbr_idx [B, N, K] -> [B, N, K, F].
+
+    Keeps take_along_axis's default out-of-bounds mode: on this TPU the
+    default lowers to a kCustom gather + select that is measurably faster
+    than the single gather op produced by mode='clip'/'promise_in_bounds'
+    (0.63 vs 0.73 ms per [90112, 132] gather at bench shapes).
+    """
     B, _, F = h.shape
     idx = nbr_idx.reshape(B, -1)                           # [B, N*K]
     out = jnp.take_along_axis(h, idx[..., None], axis=1)   # [B, N*K, F]
@@ -120,10 +148,19 @@ def _dense_bond_branch(p, h_bond, h_lig, dtype):
     return y @ p.wo.astype(y.dtype) + p.bo
 
 
-def _pallas_prep_we(p):
+def _pallas_prep_we(p, n_etypes):
+    """Reorder the dense-layout edge-feature kernel rows
+    ([outer(type, rbf) (F*20) | type (F)]) into the fused kernel's
+    per-type [rbf | 1] row blocks, zero-padded to EDGE_FEAT_PAD."""
     from decompdiff_tpu.ops.pallas.edge_kernel import EDGE_FEAT_PAD
+    R = 20
+    perm = []
+    for f in range(n_etypes):
+        perm.extend(range(f * R, (f + 1) * R))
+        perm.append(n_etypes * R + f)
+    we_r = p.we.astype(jnp.float32)[np.asarray(perm)]
     we = jnp.zeros((EDGE_FEAT_PAD, p.we.shape[1]), jnp.float32)
-    return we.at[:p.we.shape[0]].set(p.we.astype(jnp.float32))
+    return we.at[:we_r.shape[0]].set(we_r)
 
 
 def _pallas_prep_rest(p):
@@ -134,6 +171,18 @@ def _pallas_prep_rest(p):
 def _pad4(x3):
     """[..., 3] -> [..., 4] zero-padded coordinates."""
     return jnp.concatenate([x3, jnp.zeros_like(x3[..., :1])], axis=-1)
+
+
+def _pack_hx(h, x4, gather_bf16):
+    """Gather source rows for the edge kernels: [h | x] in f32, or
+    [h | x_hi | x_lo] in bf16 (halves the kernel's HBM read; h loses
+    nothing — the MXU rounds to bf16 passes anyway — and the hi/lo split
+    keeps coordinates to ~1e-4 absolute)."""
+    if not gather_bf16:
+        return jnp.concatenate([h.astype(jnp.float32), x4], axis=-1)
+    xhi = x4.astype(jnp.bfloat16)
+    xlo = (x4 - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([h.astype(jnp.bfloat16), xhi, xlo], axis=-1)
 
 
 class NodeEdgeAttention(nn.Module):
@@ -149,12 +198,14 @@ class NodeEdgeAttention(nn.Module):
     out_fc: bool = True
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    num_protein: int = 0
+    n_etypes: int = 4
+    gather_bf16: bool = False
 
     @nn.compact
-    def __call__(self, h, rel_x, dist, edge_type, nbr_idx, nbr_mask,
-                 e_w=None):
+    def __call__(self, h, ed: EdgeData, e_w=None):
         H = self.hidden_dim
-        feat_dim = edge_type.shape[-1] * 21
+        feat_dim = self.n_etypes * 21
         pk = _EdgeStreamParams(self, 'hk', feat_dim, H, H)
         pv = _EdgeStreamParams(self, 'hv', feat_dim, H, H)
         init = nn.initializers.lecun_normal()
@@ -167,43 +218,47 @@ class NodeEdgeAttention(nn.Module):
         ti_v = h @ wi_v.astype(h.dtype)
         q = MLP(H, H, dtype=self.dtype, name='hq')(h)
 
-        ew = (jnp.ones_like(nbr_mask, dtype=jnp.float32) if e_w is None
+        ew = (jnp.ones_like(ed.nbr_mask, dtype=jnp.float32) if e_w is None
               else e_w[..., 0])
 
         if self.use_pallas:
             from decompdiff_tpu.ops.pallas.edge_kernel import (
                 edge_attention_pallas)
+            # src coords ride the wide feature gather as extra lanes
+            hjx = gather_nodes(_pack_hx(h, ed.x4, self.gather_bf16),
+                               ed.nbr_idx)
             out = edge_attention_pallas(
-                _pad4(jnp.zeros_like(rel_x[:, :, 0, :])),  # dst coords unused
-                _pad4(-rel_x.astype(jnp.float32)),         # xs = xd - rel
-                edge_type.astype(jnp.float32),
+                ed.x4, ed.mld, ed.idx_flat, ed.gsrc_flat,
                 ew.astype(jnp.float32),
-                nbr_mask.astype(jnp.float32),
-                gather_nodes(h, nbr_idx).astype(jnp.float32),
+                ed.nbr_mask.astype(jnp.float32),
+                hjx,
                 (ti_k + pk.be).astype(jnp.float32),
                 (ti_v + pv.be).astype(jnp.float32),
                 q.astype(jnp.float32),
-                _pallas_prep_we(pk), wj_k.astype(jnp.float32),
+                _pallas_prep_we(pk, self.n_etypes),
+                wj_k.astype(jnp.float32),
                 *_pallas_prep_rest(pk),
-                _pallas_prep_we(pv), wj_v.astype(jnp.float32),
+                _pallas_prep_we(pv, self.n_etypes),
+                wj_v.astype(jnp.float32),
                 *_pallas_prep_rest(pv),
-                n_heads=self.n_heads, pos_mode=False)
+                n_heads=self.n_heads, pos_mode=False,
+                num_protein=self.num_protein, n_etypes=self.n_etypes)
             out = out.astype(h.dtype)
         else:
-            edge_feat = _build_edge_feat(edge_type, dist, self.dtype)
+            edge_feat = _build_edge_feat(ed.edge_type, ed.dist, self.dtype)
             # fold the first-linear bias into ti so both paths share params
             k = _dense_edge_branch(pk, edge_feat, ti_k,
                                    gather_nodes(h @ wj_k.astype(h.dtype),
-                                                nbr_idx), self.dtype)
+                                                ed.nbr_idx), self.dtype)
             v = _dense_edge_branch(pv, edge_feat, ti_v,
                                    gather_nodes(h @ wj_v.astype(h.dtype),
-                                                nbr_idx), self.dtype)
+                                                ed.nbr_idx), self.dtype)
             v = v * ew[..., None]
             kh, vh = _heads(k, self.n_heads), _heads(v, self.n_heads)
             qh = _heads(q, self.n_heads)
             scale = 1.0 / np.sqrt(kh.shape[-1])
             logits = (qh[:, :, None, :, :] * kh).sum(-1) * scale
-            alpha = masked_softmax(logits, nbr_mask[..., None], axis=2)
+            alpha = masked_softmax(logits, ed.nbr_mask[..., None], axis=2)
             out = (alpha[..., None] * vh.astype(alpha.dtype)).sum(axis=2)
             out = out.reshape(h.shape[:-1] + (H,)).astype(h.dtype)
 
@@ -404,12 +459,14 @@ class PosEdgeAttention(nn.Module):
     n_heads: int
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    num_protein: int = 0
+    n_etypes: int = 4
+    gather_bf16: bool = False
 
     @nn.compact
-    def __call__(self, h, rel_x, dist, edge_type, nbr_idx, nbr_mask,
-                 e_w=None):
+    def __call__(self, h, ed: EdgeData, e_w=None):
         H = self.hidden_dim
-        feat_dim = edge_type.shape[-1] * 21
+        feat_dim = self.n_etypes * 21
         pk = _EdgeStreamParams(self, 'xk', feat_dim, H, H)
         pv = _EdgeStreamParams(self, 'xv', feat_dim, H, self.n_heads)
         init = nn.initializers.lecun_normal()
@@ -421,43 +478,53 @@ class PosEdgeAttention(nn.Module):
         ti_k = h @ wi_k.astype(h.dtype)
         ti_v = h @ wi_v.astype(h.dtype)
         q = MLP(H, H, dtype=self.dtype, name='xq')(h)
-        ew = (jnp.ones_like(nbr_mask, dtype=jnp.float32) if e_w is None
+        ew = (jnp.ones_like(ed.nbr_mask, dtype=jnp.float32) if e_w is None
               else e_w[..., 0])
 
         if self.use_pallas:
             from decompdiff_tpu.ops.pallas.edge_kernel import (
                 edge_attention_pallas)
+            hjx = gather_nodes(_pack_hx(h, ed.x4, self.gather_bf16),
+                               ed.nbr_idx)
             dx = edge_attention_pallas(
-                _pad4(jnp.zeros_like(rel_x[:, :, 0, :])),
-                _pad4(-rel_x.astype(jnp.float32)),
-                edge_type.astype(jnp.float32),
+                ed.x4, ed.mld, ed.idx_flat, ed.gsrc_flat,
                 ew.astype(jnp.float32),
-                nbr_mask.astype(jnp.float32),
-                gather_nodes(h, nbr_idx).astype(jnp.float32),
+                ed.nbr_mask.astype(jnp.float32),
+                hjx,
                 (ti_k + pk.be).astype(jnp.float32),
                 (ti_v + pv.be).astype(jnp.float32),
                 q.astype(jnp.float32),
-                _pallas_prep_we(pk), wj_k.astype(jnp.float32),
+                _pallas_prep_we(pk, self.n_etypes),
+                wj_k.astype(jnp.float32),
                 *_pallas_prep_rest(pk),
-                _pallas_prep_we(pv), wj_v.astype(jnp.float32),
-                *_pallas_prep_rest(pv),
-                n_heads=self.n_heads, pos_mode=True)
+                _pallas_prep_we(pv, self.n_etypes),
+                wj_v.astype(jnp.float32),
+                # v-net second linear is [H, heads]; replicate each head
+                # column to its hd lanes so the kernel stays per-lane
+                jnp.repeat(pv.wo.astype(jnp.float32), H // self.n_heads,
+                           axis=1),
+                jnp.repeat(pv.bo[None].astype(jnp.float32),
+                           H // self.n_heads, axis=1),
+                pv.lns[None].astype(jnp.float32),
+                pv.lnb[None].astype(jnp.float32),
+                n_heads=self.n_heads, pos_mode=True,
+                num_protein=self.num_protein, n_etypes=self.n_etypes)
             return dx[..., :3]
 
-        edge_feat = _build_edge_feat(edge_type, dist, self.dtype)
+        edge_feat = _build_edge_feat(ed.edge_type, ed.dist, self.dtype)
         k = _dense_edge_branch(pk, edge_feat, ti_k,
                                gather_nodes(h @ wj_k.astype(h.dtype),
-                                            nbr_idx), self.dtype)
+                                            ed.nbr_idx), self.dtype)
         v = _dense_edge_branch(pv, edge_feat, ti_v,
                                gather_nodes(h @ wj_v.astype(h.dtype),
-                                            nbr_idx), self.dtype)
+                                            ed.nbr_idx), self.dtype)
         v = v * ew[..., None]
-        v = v[..., None].astype(jnp.float32) * rel_x[..., None, :]
+        v = v[..., None].astype(jnp.float32) * ed.rel_x[..., None, :]
         kh = _heads(k, self.n_heads)
         qh = _heads(q, self.n_heads)
         scale = 1.0 / np.sqrt(kh.shape[-1])
         logits = (qh[:, :, None, :, :] * kh).sum(-1) * scale
-        alpha = masked_softmax(logits, nbr_mask[..., None], axis=2)
+        alpha = masked_softmax(logits, ed.nbr_mask[..., None], axis=2)
         out = (alpha[..., None] * v).sum(axis=2)                  # [B,N,heads,3]
         return out.mean(axis=2)                                   # [B,N,3]
 
@@ -513,23 +580,31 @@ class AttentionLayerBond(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     pallas_bf16: bool = False
+    n_etypes: int = 4
+    gather_bf16: bool = False
 
     @nn.compact
-    def __call__(self, h, x, edge_type, nbr_idx, nbr_mask, h_bond, bond_mask,
+    def __call__(self, h, x, ed, h_bond, bond_mask,
                  movable_mask, num_protein, e_w=None):
         Np = num_protein
         Nl = h_bond.shape[1]
 
-        # kNN edge geometry (recomputed from the layer-input x; ref :262-269)
-        xj = gather_nodes(x, nbr_idx)
-        rel_x = x[:, :, None, :] - xj                             # x_dst - x_src
-        dist = safe_norm(rel_x, axis=-1)
+        # kNN edge geometry (recomputed from the layer-input x; ref :262-269):
+        # the Pallas path defers it to VMEM, the dense path gathers here
+        if self.use_pallas:
+            ed = ed._replace(x4=_pad4(x.astype(jnp.float32)))
+        else:
+            xj = gather_nodes(x, ed.nbr_idx)
+            rel_x = x[:, :, None, :] - xj                         # x_dst - x_src
+            dist = safe_norm(rel_x, axis=-1)
+            ed = ed._replace(rel_x=rel_x, dist=dist)
 
         new_h_edge = NodeEdgeAttention(
             self.hidden_dim, self.n_heads, out_fc=self.x2h_out_fc,
             dtype=self.dtype, use_pallas=self.use_pallas,
-            name='node_layer_with_edge')(
-            h, rel_x, dist, edge_type, nbr_idx, nbr_mask, e_w)
+            num_protein=Np, n_etypes=self.n_etypes,
+            gather_bf16=self.gather_bf16,
+            name='node_layer_with_edge')(h, ed, e_w)
 
         # ligand bond streams
         h_lig = h[:, Np:Np + Nl]
@@ -554,8 +629,9 @@ class AttentionLayerBond(nn.Module):
         dx_edge = PosEdgeAttention(
             self.hidden_dim, self.n_heads, dtype=self.dtype,
             use_pallas=self.use_pallas,
-            name='pos_layer_with_edge')(
-            new_h, rel_x, dist, edge_type, nbr_idx, nbr_mask, e_w)
+            num_protein=Np, n_etypes=self.n_etypes,
+            gather_bf16=self.gather_bf16,
+            name='pos_layer_with_edge')(new_h, ed, e_w)
         rel_bond_x = x_lig[:, :, None, :] - x_lig[:, None, :, :]
         dx_bond = PosBondAttention(
             self.hidden_dim, self.n_heads, dtype=self.dtype,
@@ -584,6 +660,7 @@ class UniTransformerBond(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     pallas_bf16: bool = False
+    gather_bf16: bool = False  # bf16 [h | x_hi | x_lo] edge-kernel gathers
     cutoff_mode: str = 'knn'   # ['knn', 'radius'] — radius keeps the top-k
     r_max: float = 10.0        # degree cap and masks edges beyond r_max
 
@@ -607,10 +684,12 @@ class UniTransformerBond(nn.Module):
         if self.remat:
             layer_cls = nn.remat(AttentionLayerBond)
 
+        n_etypes = 4 if group_idx is None else 6
         layers = [layer_cls(
             self.hidden_dim, self.n_heads, self.edge_feat_dim,
             self.x2h_out_fc, self.include_h_node, self.dtype,
-            self.use_pallas, self.pallas_bf16, name=f'layer_{i}')
+            self.use_pallas, self.pallas_bf16, n_etypes, self.gather_bf16,
+            name=f'layer_{i}')
             for i in range(self.num_layers)]
 
         for _ in range(self.num_blocks):
@@ -620,41 +699,62 @@ class UniTransformerBond(nn.Module):
                 assert not self.use_pallas, \
                     'hybrid cutoff mode runs the dense XLA path only'
                 from decompdiff_tpu.ops.knn import hybrid_neighbors
-                nbr_idx, nbr_mask = hybrid_neighbors(
-                    x, mask_all, mask_ligand, self.k, num_protein)
+                nbr_idx, nbr_mask, nbr_d2 = hybrid_neighbors(
+                    x, mask_all, mask_ligand, self.k, num_protein,
+                    return_d2=True)
             else:
-                nbr_idx, nbr_mask = knn_neighbors(x, mask_all, self.k)
+                nbr_idx, nbr_mask, nbr_d2 = knn_neighbors(
+                    x, mask_all, self.k, return_d2=True)
                 if self.cutoff_mode == 'radius':
                     # radius graph with an implicit max degree of k
                     # (ref _connect_edge, uni_transformer_edge.py:349-359)
-                    xj0 = gather_nodes(x, nbr_idx)
-                    d0 = safe_norm(x[:, :, None, :] - xj0, axis=-1)
-                    nbr_mask = nbr_mask & (d0 <= self.r_max)
+                    nbr_mask = nbr_mask & (nbr_d2 <= self.r_max ** 2)
                 elif self.cutoff_mode != 'knn':
                     raise NotImplementedError(
                         f'cutoff_mode {self.cutoff_mode!r}')
 
             # 4-way ll/lp/pl/pp edge typing, src=j -> dst=i
-            # (ref uni_transformer_edge.py:361-392)
-            lig_src = gather_nodes(
-                mask_ligand[..., None].astype(jnp.float32), nbr_idx)[..., 0] > 0.5
-            lig_dst = mask_ligand[:, :, None]
-            type_id = jnp.where(
-                lig_src & lig_dst, 0,
-                jnp.where(lig_src & ~lig_dst, 1,
-                          jnp.where(~lig_src & lig_dst, 2, 3)))
-            edge_type = jax.nn.one_hot(type_id, 4, dtype=h.dtype)
-            if group_idx is not None:
-                g_src = gather_nodes(
-                    group_idx[..., None].astype(jnp.float32), nbr_idx)[..., 0]
-                same = (g_src == group_idx[:, :, None].astype(jnp.float32))
-                edge_type = jnp.concatenate(
-                    [edge_type, jax.nn.one_hot(same.astype(jnp.int32), 2,
-                                               dtype=h.dtype)], axis=-1)
+            # (ref uni_transformer_edge.py:361-392). The Pallas path defers
+            # typing to VMEM (src-is-ligand from nbr_idx >= num_protein —
+            # identical post-masking); the dense path gathers it here.
+            if self.use_pallas:
+                B, N, K = nbr_idx.shape
+                ml = mask_ligand.astype(jnp.float32)
+                if group_idx is not None:
+                    g = group_idx.astype(jnp.float32)
+                    gsrc_flat = gather_nodes(
+                        g[..., None], nbr_idx).reshape(B, N * K, 1)
+                else:
+                    g = jnp.zeros_like(ml)
+                    gsrc_flat = jnp.zeros((B, N * K, 1), jnp.float32)
+                ed = EdgeData(
+                    nbr_idx, nbr_mask,
+                    idx_flat=nbr_idx.reshape(B, N * K, 1),
+                    mld=jnp.stack([ml, g], axis=-1),
+                    gsrc_flat=gsrc_flat)
+            else:
+                lig_src = gather_nodes(
+                    mask_ligand[..., None].astype(jnp.float32),
+                    nbr_idx)[..., 0] > 0.5
+                lig_dst = mask_ligand[:, :, None]
+                type_id = jnp.where(
+                    lig_src & lig_dst, 0,
+                    jnp.where(lig_src & ~lig_dst, 1,
+                              jnp.where(~lig_src & lig_dst, 2, 3)))
+                edge_type = jax.nn.one_hot(type_id, 4, dtype=h.dtype)
+                if group_idx is not None:
+                    g_src = gather_nodes(
+                        group_idx[..., None].astype(jnp.float32),
+                        nbr_idx)[..., 0]
+                    same = (g_src == group_idx[:, :, None].astype(jnp.float32))
+                    edge_type = jnp.concatenate(
+                        [edge_type, jax.nn.one_hot(same.astype(jnp.int32), 2,
+                                                   dtype=h.dtype)], axis=-1)
+                ed = EdgeData(nbr_idx, nbr_mask, edge_type=edge_type)
 
             if self.use_global_ew:
-                xj = gather_nodes(x, nbr_idx)
-                dist = safe_norm(x[:, :, None, :] - xj, axis=-1)
+                # edge distances come straight from top_k — no coord gather
+                dist = jnp.sqrt(jnp.clip(nbr_d2, 1e-12, 1e12))
                 logits = MLP(1, self.hidden_dim, dtype=self.dtype, name='edge_pred')(
                     fixed_rbf(dist))
                 e_w = jax.nn.sigmoid(logits)                      # [B, N, K, 1]
@@ -663,7 +763,7 @@ class UniTransformerBond(nn.Module):
 
             for layer in layers:
                 h, h_bond, x = layer(
-                    h, x, edge_type, nbr_idx, nbr_mask, h_bond, bond_mask,
+                    h, x, ed, h_bond, bond_mask,
                     movable_mask, num_protein, e_w)
 
         return {'x': x, 'h': h, 'h_bond': h_bond}

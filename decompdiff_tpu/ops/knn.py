@@ -25,17 +25,24 @@ def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(diff * diff, axis=-1)
 
 
-def knn_neighbors(pos: jnp.ndarray, mask: jnp.ndarray, k: int):
+def knn_neighbors(pos: jnp.ndarray, mask: jnp.ndarray, k: int,
+                  return_d2: bool = False):
     """Top-k nearest real neighbors for every node (self excluded).
 
     Args:
         pos:  [B, N, 3]
         mask: [B, N] bool — real (non-padding) nodes
         k:    neighbors per destination
+        return_d2: also return the squared edge distances, which top_k has
+            already computed — callers (edge weights, radius cutoff) can then
+            skip a narrow [B, N, K, 3] coordinate gather, which on TPU is
+            far more expensive per byte than a wide row gather.
 
     Returns:
         nbr_idx:  [B, N, K] int32 — source-node indices j for edges j -> i
         nbr_mask: [B, N, K] bool  — valid edges (dst real, src real, src != dst)
+        nbr_d2:   [B, N, K] float (only when return_d2) — |xi - xj|^2 per
+                  edge; invalid slots hold float32.max.
     """
     n = pos.shape[-2]
     d2 = pairwise_sqdist(pos, pos)  # [B, N, N], entry [i, j] = |xi - xj|^2
@@ -45,11 +52,14 @@ def knn_neighbors(pos: jnp.ndarray, mask: jnp.ndarray, k: int):
     d2 = jnp.where(invalid, big, d2)
     neg_d2, nbr_idx = jax.lax.top_k(-d2, k)  # [B, N, K]
     nbr_mask = (neg_d2 > -big) & mask[:, :, None]
+    if return_d2:
+        return nbr_idx.astype(jnp.int32), nbr_mask, -neg_d2
     return nbr_idx.astype(jnp.int32), nbr_mask
 
 
 def hybrid_neighbors(pos: jnp.ndarray, mask: jnp.ndarray,
-                     mask_ligand: jnp.ndarray, k: int, num_protein: int):
+                     mask_ligand: jnp.ndarray, k: int, num_protein: int,
+                     return_d2: bool = False):
     """The reference's 'hybrid' edge connection in padded form
     (ref models/common.py:230-277 batch_hybrid_edge_connection with
     add_p_index=True):
@@ -95,4 +105,7 @@ def hybrid_neighbors(pos: jnp.ndarray, mask: jnp.ndarray,
     nbr_idx = jnp.concatenate([fc_idx, knn_idx.astype(jnp.int32)], axis=2)
     nbr_mask = jnp.concatenate([fc_valid & mask[:, :, None], knn_valid],
                                axis=2)
+    if return_d2:
+        fc_d2 = jnp.take_along_axis(d2, fc_idx, axis=2)
+        return nbr_idx, nbr_mask, jnp.concatenate([fc_d2, -neg_d2], axis=2)
     return nbr_idx, nbr_mask

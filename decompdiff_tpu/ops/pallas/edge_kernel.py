@@ -5,18 +5,34 @@ the whole per-edge pipeline of NodeEdgeAttention / PosEdgeAttention
 (models/uni_transformer_bond.py; reference NodeUpdateLayer / PosUpdateLayer,
 ref models/encoders/uni_transformer_edge.py:16-74,170-210):
 
-    edge_feat = [outer(onehot(type), RBF(dist)), onehot(type)]   (84 dims)
-    pre_m     = edge_feat @ We_m + t_i_m[dst] + t_j_m[src]       (m in {k, v})
+    edge_type = 4-way ll/lp/pl/pp one-hot [+ same-decomp-group bit]
+    edge_feat = [outer(edge_type, RBF(dist)), edge_type]            (84 dims)
+    pre_m     = edge_feat @ We_m + t_i_m[dst] + t_j_m[src]          (m in {k, v})
     y_m       = relu(LayerNorm(pre_m))
     k         = y_k @ Wo_k + bo_k ;  v = (y_v @ Wo_v + bo_v) * e_w
     alpha     = masked softmax over the K neighbors of (q . k)/sqrt(hd)
-    node mode: out[dst] = sum_k alpha * v                        [N, H]
-    pos mode:  dx[dst]  = sum_k (mean_h alpha*v) * rel_x         [N, 4]
+    node mode: out[dst] = sum_k alpha * v                           [N, H]
+    pos mode:  dx[dst]  = sum_k (mean_h alpha*v) * rel_x            [N, 4]
 
-Only the O(N*K*H) j-projections (gathered once per layer by XLA) cross HBM;
-every per-edge intermediate (84->128 features, pre, LN, relu, k, v, logits)
-stays in VMEM. Head grouping uses the block-sum-matrix trick (no lane-split
-reshapes). Distances/RBF are recomputed in-kernel from coordinate planes.
+HBM-traffic design (the per-step profile showed TPU gathers cost per *row*,
+not per byte: a [N*K, 3] coordinate gather is ~1.4x the cost of a [N*K, 128]
+feature gather): the src coordinates ride the one wide per-layer feature
+gather as 4 extra lanes (hjx = [h_src | x_src]), so the only HBM gather per
+stream is that single [N*K, H+4] row gather. Neighbor distances, RBF
+features, the 4/6-way edge typing (from the static [protein | ligand] context
+layout: src is ligand iff nbr_idx >= num_protein — identical post-masking to
+the reference's gathered is-ligand flags) and every per-edge intermediate
+(84->128 features, pre, LN, relu, k, v, logits) live in VMEM only.
+
+MXU scheduling: the factorized edge-feature first linear runs as ONE
+[T*K, F*21] @ [F*21, H] matmul — the outer-product structure is realized by
+scaling a [rbf | 1] block per edge type and concatenating (identical algebra,
+1/F the MXU tile-ops of per-type dots). Head grouping uses a single
+block-diagonal HH = hsum @ hsum.T matmul: logits are head-summed AND
+replicated back to all H lanes in one pass, so the softmax runs per-lane and
+no post-softmax head-expansion matmul is needed. In pos mode the [H, heads]
+second linear of the v net is column-replicated to [H, H] on the host so the
+same per-lane path applies (the final mean over heads becomes /H).
 """
 
 from __future__ import annotations
@@ -31,49 +47,70 @@ from jax.experimental.pallas import tpu as pltpu
 
 from decompdiff_tpu.models.common import FIXED_RBF_OFFSETS
 
-EDGE_FEAT_PAD = 128  # 4*20 outer + 4 type = 84, zero-padded
+EDGE_FEAT_PAD = 128  # 4*21 = 84 (or 6*21 = 126) rows used, zero-padded
 
 
-def _edge_kernel(xd_ref, xs_ref, eattr_ref, ew_ref, mask_ref, offs_ref,
-                 hj_ref, tik_ref, tiv_ref, q_ref, hsum_ref,
+def _edge_kernel(xd_ref, mld_ref, idx_ref, gsrc_ref, ew_ref, mask_ref,
+                 offs_ref, hjx_ref, tik_ref, tiv_ref, q_ref, hh_ref,
                  wek_ref, wjk_ref, wok_ref, bok_ref, lnsk_ref, lnbk_ref,
                  wev_ref, wjv_ref, wov_ref, bov_ref, lnsv_ref, lnbv_ref,
-                 out_ref, *, n_heads: int, pos_mode: bool):
-    # xd [1,T,4]; xs [1,T,K,4]; etype/ew/mask [1,T,K]; hj [1,T,K,H]
+                 out_ref, *, n_heads: int, pos_mode: bool, num_protein: int,
+                 n_etypes: int, gather_bf16: bool):
+    # xd [1,T,4]; mld [1,T,2]; idx/gsrc [1,T*K,1]; ew/mask [1,T,K];
+    # hjx [1,T,K,H+4] f32, or [1,T,K,H+8] bf16 with hi/lo-split coords
     xd = xd_ref[0]                                  # [T, 4]
-    xs = xs_ref[0]                                  # [T, K, 4]
-    T, K, _ = xs.shape
-    H = hj_ref.shape[-1]
+    hjx = hjx_ref[0]
+    T, K, Hx = hjx.shape
+    if gather_bf16:
+        # bf16 rows halve the kernel's dominant HBM read; h loses nothing
+        # (the MXU rounds f32 operands to bf16 passes anyway) and the
+        # coordinates ride as a hi+lo split (~1e-4 absolute error)
+        H = Hx - 8
+        hj = hjx[..., :H].astype(jnp.float32).reshape(T * K, H)
+        xs = (hjx[..., H:H + 4].astype(jnp.float32)
+              + hjx[..., H + 4:].astype(jnp.float32))   # [T, K, 4]
+    else:
+        H = Hx - 4
+        hj = hjx[..., :H].reshape(T * K, H)         # gathered raw h_src
+        xs = hjx[..., H:]                           # [T, K, 4] src coords
     hd = H // n_heads
-    hj = hj_ref[0].reshape(T * K, H)                # gathered raw h_src
 
     rel = xd[:, None, :] - xs                       # [T, K, 4] (4th comp 0)
     d2 = (rel * rel).sum(-1)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-24))         # [T, K]
 
-    # RBF against the 20 fixed offsets (passed as an input row vector)
+    # RBF against the 20 fixed offsets (passed as an input row vector),
+    # extended by a constant-1 column so the per-type first-linear bias rides
+    # the same matmul ([rbf | 1] rows match the We row order from
+    # _pallas_prep_we)
     dd = dist.reshape(T * K, 1) - offs_ref[0][None, :]   # [TK, R]
     rbf = jnp.exp(-0.5 * dd * dd)                        # [TK, R]
-    eattr = eattr_ref[0]                            # [T, K, F] one-hot attrs
-    F = eattr.shape[-1]
-    R = rbf.shape[-1]
-    attrs = [eattr[..., f].reshape(T * K, 1) for f in range(F)]
+    rbf1 = jnp.concatenate(
+        [rbf, jnp.ones((T * K, 1), jnp.float32)], axis=1)  # [TK, R+1]
 
-    def edge_first_linear(we_ref):
-        # ef @ We decomposed: sum_f attr_f * (rbf @ We[f*R:(f+1)*R])
-        #                   + sum_f attr_f * We[F*R + f]
-        pre = None
-        for f in range(F):
-            proj = jnp.dot(rbf, we_ref[f * R:(f + 1) * R, :],
-                           preferred_element_type=jnp.float32)   # [TK, H]
-            term = attrs[f] * (proj + we_ref[F * R + f, :][None, :])
-            pre = term if pre is None else pre + term
-        return pre
+    # edge typing in VMEM: src-is-ligand from the static context layout,
+    # dst flags from the mld rows (mask_ligand / group id per dst node)
+    idxf = idx_ref[0].astype(jnp.float32)           # [TK, 1]
+    ls = jnp.where(idxf >= float(num_protein), 1.0, 0.0)           # [TK, 1]
+    ld = jnp.broadcast_to(
+        mld_ref[0][:, 0:1][:, None, :], (T, K, 1)).reshape(T * K, 1)
+    attrs = [ls * ld, ls * (1.0 - ld),
+             (1.0 - ls) * ld, (1.0 - ls) * (1.0 - ld)]
+    if n_etypes == 6:
+        gs = gsrc_ref[0]                                           # [TK, 1]
+        gd = jnp.broadcast_to(
+            mld_ref[0][:, 1:2][:, None, :], (T, K, 1)).reshape(T * K, 1)
+        same = jnp.where(gs == gd, 1.0, 0.0)
+        attrs += [1.0 - same, same]
 
-    def branch(we_ref, wj_ref, wo_ref, bo_ref, lns_ref, lnb_ref, ti_ref,
-               out_dim):
+    # one [TK, F*(R+1)] block realizes the outer(edge_type, [rbf | 1])
+    # structure; a single matmul replaces F per-type dots
+    z = jnp.concatenate([a * rbf1 for a in attrs], axis=1)
+
+    def branch(we_ref, wj_ref, wo_ref, bo_ref, lns_ref, lnb_ref, ti_ref):
         # j-projection applied in-kernel: one raw-h gather feeds both nets
-        pre = edge_first_linear(we_ref)
+        pre = jnp.dot(z, we_ref[:n_etypes * (21), :],
+                      preferred_element_type=jnp.float32)
         pre = pre + jnp.dot(hj, wj_ref[:],
                             preferred_element_type=jnp.float32)
         pre = pre.reshape(T, K, H)
@@ -84,66 +121,68 @@ def _edge_kernel(xd_ref, xs_ref, eattr_ref, ew_ref, mask_ref, offs_ref,
         y = jnp.maximum(y, 0.0)
         o = jnp.dot(y.reshape(T * K, H), wo_ref[:],
                     preferred_element_type=jnp.float32)
-        return o.reshape(T, K, out_dim) + bo_ref[0]
+        return o.reshape(T, K, H) + bo_ref[0]
 
     k_t = branch(wek_ref, wjk_ref, wok_ref, bok_ref, lnsk_ref, lnbk_ref,
-                 tik_ref, H)
-    v_dim = n_heads if pos_mode else H
+                 tik_ref)
     v_t = branch(wev_ref, wjv_ref, wov_ref, bov_ref, lnsv_ref, lnbv_ref,
-                 tiv_ref, v_dim)
+                 tiv_ref)
     v_t = v_t * ew_ref[0][..., None]
 
-    hsum = hsum_ref[:]                               # [H, heads]
+    # head-grouped logits, summed and lane-replicated in one HH matmul
     q = q_ref[0]                                     # [T, H]
     qk = q[:, None, :] * k_t                         # [T, K, H]
-    logits = jnp.dot(qk.reshape(T * K, H), hsum,
-                     preferred_element_type=jnp.float32)
-    logits = logits.reshape(T, K, n_heads) / np.sqrt(hd)
+    hlog = jnp.dot(qk.reshape(T * K, H), hh_ref[:],
+                   preferred_element_type=jnp.float32)
+    hlog = hlog.reshape(T, K, H) / np.sqrt(hd)       # per-lane = head logit
 
     valid = mask_ref[0]                              # [T, K] float
     neg = jnp.float32(-1e30)
-    logits = jnp.where(valid[..., None] > 0.5, logits, neg)
-    m = jnp.maximum(jnp.max(logits, axis=1, keepdims=True), -1e29)
-    e = jnp.where(valid[..., None] > 0.5, jnp.exp(logits - m), 0.0)
+    hlog = jnp.where(valid[..., None] > 0.5, hlog, neg)
+    m = jnp.maximum(jnp.max(hlog, axis=1, keepdims=True), -1e29)
+    e = jnp.where(valid[..., None] > 0.5, jnp.exp(hlog - m), 0.0)
     denom = jnp.maximum(e.sum(axis=1, keepdims=True), 1e-16)
-    alpha = e / denom                                # [T, K, heads]
+    alpha = e / denom                                # [T, K, H] head-replicated
 
     if pos_mode:
-        # dx = sum_k (mean_h alpha*v) * rel  (ref PosUpdateLayer :201-210)
-        w = (alpha * v_t).sum(-1) / n_heads          # [T, K]
+        # v_t lanes are head-replicated (host-expanded Wo_v), so the
+        # reference's mean over heads of sum_h alpha*v is a /H lane sum
+        # (ref PosUpdateLayer :201-210)
+        w = (alpha * v_t).sum(-1) / H                # [T, K]
         out_ref[0] = (w[..., None] * rel).sum(axis=1)  # [T, 4]
     else:
-        alpha_full = jnp.dot(alpha.reshape(T * K, n_heads), hsum.T,
-                             preferred_element_type=jnp.float32)
-        alpha_full = alpha_full.reshape(T, K, H)
-        out_ref[0] = (alpha_full * v_t).sum(axis=1)  # [T, H]
+        out_ref[0] = (alpha * v_t).sum(axis=1)      # [T, H]
 
 
-@partial(jax.jit, static_argnames=('n_heads', 'pos_mode', 'tile'))
-def edge_attention_pallas(x_pad, xj_pad, eattr, e_w, nbr_mask,
-                          hj, ti_k, ti_v, q,
+@partial(jax.jit, static_argnames=('n_heads', 'pos_mode', 'num_protein',
+                                   'n_etypes', 'tile'))
+def edge_attention_pallas(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask,
+                          hjx, ti_k, ti_v, q,
                           we_k, wj_k, wo_k, bo_k, lns_k, lnb_k,
                           we_v, wj_v, wo_v, bo_v, lns_v, lnb_v,
-                          *, n_heads: int, pos_mode: bool, tile: int = 64):
+                          *, n_heads: int, pos_mode: bool, num_protein: int,
+                          n_etypes: int = 4, tile: int = 64):
     """Args (all float32 unless noted):
-        x_pad:   [B, N, 4] dst coords (4th component 0)
-        xj_pad:  [B, N, K, 4] gathered src coords
-        eattr:   [B, N, K, F] one-hot edge attrs (4-dim ll/lp/pl/pp, +2 when
-                 the same-decomp-group bit is on; F*21 <= 128)
+        xd4:     [B, N, 4] dst coords (4th component 0)
+        mld:     [B, N, 2] per-dst-node [mask_ligand, group_id] floats
+        idx_flat:[B, N*K, 1] int32 neighbor indices (row-flattened)
+        gsrc_flat:[B, N*K, 1] gathered src group ids (zeros when n_etypes=4)
         e_w:     [B, N, K] global edge weights (1.0 when disabled)
         nbr_mask:[B, N, K] valid-edge floats
-        hj:      [B, N, K, H] gathered raw src features (one gather feeds
-                 both nets; j-projections run in-kernel via wj_*)
+        hjx:     [B, N, K, H+4] gathered [h_src | x_src] rows — the single
+                 wide per-stream gather; j-projections run in-kernel via wj_*
         ti_*:    [B, N, H] dst projections (include first-linear bias here)
         q:       [B, N, H] query projections
-        we_*:    [128, H] padded edge-feature projection (84 rows used)
-        wo_k:    [H, H]; wo_v: [H, H] (node) or [H, heads] (pos)
-        bo_*/lns_*/lnb_*: [1, H] (bo_v [1, heads] in pos mode)
+        we_*:    [128, H] edge-feature projection in [rbf | 1]-per-type row
+                 order (see models/uni_transformer_bond._pallas_prep_we)
+        wo_k:    [H, H]; wo_v: [H, H] (pos mode: host-replicated columns)
+        bo_*/lns_*/lnb_*: [1, H]
     Returns [B, N, H] (node mode) or [B, N, 4] dx (pos mode).
     """
-    B, N, K, H = hj.shape
-    F = eattr.shape[-1]
-    assert F * 21 <= EDGE_FEAT_PAD, F
+    B, N, K, Hx = hjx.shape
+    gather_bf16 = hjx.dtype == jnp.bfloat16
+    H = Hx - (8 if gather_bf16 else 4)
+    assert n_etypes * 21 <= EDGE_FEAT_PAD, n_etypes
     offsets = jnp.asarray(np.asarray(FIXED_RBF_OFFSETS, np.float32))[None, :]
     if N % tile != 0:
         tile = min(tile, N)
@@ -163,26 +202,32 @@ def edge_attention_pallas(x_pad, xj_pad, eattr, e_w, nbr_mask,
         return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
-    v_out = n_heads if pos_mode else H
+    hd = H // n_heads
+    head_id = jnp.arange(H) // hd
+    hh = (head_id[:, None] == head_id[None, :]).astype(jnp.float32)  # [H, H]
+
     return pl.pallas_call(
-        partial(_edge_kernel, n_heads=n_heads, pos_mode=pos_mode),
+        partial(_edge_kernel, n_heads=n_heads, pos_mode=pos_mode,
+                num_protein=num_protein, n_etypes=n_etypes,
+                gather_bf16=gather_bf16),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile, 4), bt3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, K, 4), bt4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, K, F), bt4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 2), bt3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile * K, 1), bt3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile * K, 1), bt3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, K), bt3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, K), bt3, memory_space=pltpu.VMEM),
             w_spec((1, len(FIXED_RBF_OFFSETS))),
-            pl.BlockSpec((1, tile, K, H), bt4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, K, Hx), bt4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
-            w_spec((H, n_heads)),
+            w_spec((H, H)),
             w_spec((EDGE_FEAT_PAD, H)), w_spec((H, H)), w_spec((H, H)),
             w_spec((1, H)), w_spec((1, H)), w_spec((1, H)),
-            w_spec((EDGE_FEAT_PAD, H)), w_spec((H, H)), w_spec((H, v_out)),
-            w_spec((1, v_out)), w_spec((1, H)), w_spec((1, H)),
+            w_spec((EDGE_FEAT_PAD, H)), w_spec((H, H)), w_spec((H, H)),
+            w_spec((1, H)), w_spec((1, H)), w_spec((1, H)),
         ],
         out_specs=pl.BlockSpec((1, tile, out_dim), bt3,
                                memory_space=pltpu.VMEM),
@@ -190,8 +235,7 @@ def edge_attention_pallas(x_pad, xj_pad, eattr, e_w, nbr_mask,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == 'cpu',
-    )(x_pad, xj_pad, eattr, e_w, nbr_mask, offsets, hj, ti_k, ti_v, q,
-      (jnp.arange(H)[:, None] // (H // n_heads) ==
-       jnp.arange(n_heads)[None, :]).astype(jnp.float32),
+    )(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask, offsets, hjx,
+      ti_k, ti_v, q, hh,
       we_k, wj_k, wo_k, bo_k, lns_k, lnb_k,
       we_v, wj_v, wo_v, bo_v, lns_v, lnb_v)

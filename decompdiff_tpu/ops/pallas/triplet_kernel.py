@@ -54,28 +54,32 @@ def _layer_norm(x, scale, bias, eps=1e-5):
 
 
 def _kernel(angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
-            q_ref, mask_ref, hsum_ref,
+            q_ref, mask_ref, hh_ref,
             wa_k_ref, wo_k_ref, bo_k_ref, lns_k_ref, lnb_k_ref,
             wa_v_ref, wo_v_ref, bo_v_ref, lns_v_ref, lnb_v_ref,
-            out_ref, *, n_heads: int, bf16: bool):
-    i = pl.program_id(1)
-    angle = angle_ref[0, 0]         # [Nl_j, Nl_k]
-    Nl = angle.shape[0]
+            out_ref, *, n_heads: int, bf16: bool, i_block: int):
+    # a block of i_block destination atoms per program: fewer, larger
+    # programs amortize per-program overhead and DMA latency
+    IB = i_block
+    i0 = pl.program_id(1) * IB
+    angle = angle_ref[0]            # [IB, Nl_j, Nl_k]
+    Nl = angle.shape[-1]
     H = tkj_k_ref.shape[-1]
     hd = H // n_heads
+    NN = IB * Nl * Nl
 
-    af = _angular_encode_padded(angle)                 # [Nl, Nl, 16]
-    af2 = af.reshape(Nl * Nl, ANG_PAD)
+    af = _angular_encode_padded(angle)                 # [IB, Nl, Nl, 16]
+    af2 = af.reshape(NN, ANG_PAD)
 
     def branch(tkj_ref, tij_ref, wa_ref, wo_ref, bo_ref, lns_ref, lnb_ref):
         pre = jnp.dot(af2, wa_ref[:],
-                      preferred_element_type=jnp.float32)    # [Nl*Nl, H]
-        pre = pre.reshape(Nl, Nl, H)
-        pre = pre + tkj_ref[0]                              # (j,k) terms+bias
-        pre = pre + tij_ref[0, 0][:, None, :]               # (i,j) term
+                      preferred_element_type=jnp.float32)    # [NN, H]
+        pre = pre.reshape(IB, Nl, Nl, H)
+        pre = pre + tkj_ref[0][None]                        # (j,k) terms+bias
+        pre = pre + tij_ref[0][:, :, None, :]               # (i,j) term
         y = _layer_norm(pre, lns_ref[0], lnb_ref[0])
         y = jnp.maximum(y, 0.0)
-        y2 = y.reshape(Nl * Nl, H)
+        y2 = y.reshape(NN, H)
         wo = wo_ref[:]
         if bf16:
             # the second linear dominates the kernel's FLOPs; bf16 inputs
@@ -83,7 +87,7 @@ def _kernel(angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
             y2 = y2.astype(jnp.bfloat16)
             wo = wo.astype(jnp.bfloat16)
         o = jnp.dot(y2, wo, preferred_element_type=jnp.float32)
-        return o.reshape(Nl, Nl, H) + bo_ref[0]
+        return o.reshape(IB, Nl, Nl, H) + bo_ref[0]
 
     k_t = branch(tkj_k_ref, tij_k_ref, wa_k_ref, wo_k_ref, bo_k_ref,
                  lns_k_ref, lnb_k_ref)
@@ -91,41 +95,41 @@ def _kernel(angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
                  lns_v_ref, lnb_v_ref)
 
     # Head grouping without lane-splitting reshapes (unsupported in Mosaic):
-    # hsum [H, heads] has 1 where feature d belongs to head h, so
-    # (q*k) @ hsum sums within heads and alpha @ hsum.T expands per feature.
-    hsum = hsum_ref[:]                                     # [H, heads]
-    q = q_ref[0, 0]                                        # [j, H]
-    qk = q[:, None, :] * k_t                               # [j, k, H]
+    # HH = hsum @ hsum.T is block-diagonal ones over each head's hd lanes, so
+    # ONE (q*k) @ HH matmul both sums logits within heads and replicates the
+    # head logit back to all of its lanes; the softmax then runs per-lane and
+    # no post-softmax head-expansion matmul is needed.
+    q = q_ref[0]                                           # [IB, j, H]
+    qk = q[:, :, None, :] * k_t                            # [IB, j, k, H]
     scale = 1.0 / np.sqrt(hd)
-    logits = jnp.dot(qk.reshape(Nl * Nl, H), hsum,
-                     preferred_element_type=jnp.float32)
-    logits = logits.reshape(Nl, Nl, n_heads) * scale       # [j, k, heads]
+    hlog = jnp.dot(qk.reshape(NN, H), hh_ref[:],
+                   preferred_element_type=jnp.float32)
+    hlog = hlog.reshape(IB, Nl, Nl, H) * scale             # lane = head logit
 
     # triplet mask: bond (j->i) at mask[i, j], bond (k->j) at mask[j, k], k != i
     bm = mask_ref[0]                                       # [Nl, Nl] float
-    bm_i = mask_ref[0, pl.ds(i, 1), :][0]                  # [Nl_j] row i
-    k_ids = jax.lax.broadcasted_iota(jnp.int32, (Nl, Nl), 1)
-    valid = (bm_i[:, None] * bm) * (k_ids != i).astype(jnp.float32)
+    bm_i = mask_ref[0, pl.ds(i0, IB), :]                   # [IB, Nl_j]
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (IB, Nl, Nl), 2)
+    i_ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (IB, Nl, Nl), 0)
+    valid = (bm_i[:, :, None] * bm[None]) * (
+        k_ids != i_ids).astype(jnp.float32)
     neg = jnp.float32(-1e30)
-    logits = jnp.where(valid[..., None] > 0.5, logits, neg)
-    m = jnp.max(logits, axis=1, keepdims=True)
+    hlog = jnp.where(valid[..., None] > 0.5, hlog, neg)
+    m = jnp.max(hlog, axis=2, keepdims=True)
     m = jnp.maximum(m, -1e29)
-    e = jnp.where(valid[..., None] > 0.5, jnp.exp(logits - m), 0.0)
-    denom = jnp.maximum(e.sum(axis=1, keepdims=True), 1e-16)
-    alpha = e / denom                                       # [j, k, heads]
+    e = jnp.where(valid[..., None] > 0.5, jnp.exp(hlog - m), 0.0)
+    denom = jnp.maximum(e.sum(axis=2, keepdims=True), 1e-16)
+    alpha = e * (1.0 / denom)                   # [IB, j, k, H] head-replicated
 
-    alpha_full = jnp.dot(alpha.reshape(Nl * Nl, n_heads), hsum.T,
-                         preferred_element_type=jnp.float32)
-    alpha_full = alpha_full.reshape(Nl, Nl, H)
-    out = (alpha_full * v_t).sum(axis=1)                    # [j, H]
-    out_ref[0, 0] = out
+    out = (alpha * v_t).sum(axis=2)                         # [IB, j, H]
+    out_ref[0] = out
 
 
-@partial(jax.jit, static_argnames=('n_heads', 'bf16'))
+@partial(jax.jit, static_argnames=('n_heads', 'bf16', 'i_block'))
 def triplet_attention_pallas(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask,
                              wa_k, wo_k, bo_k, lns_k, lnb_k,
                              wa_v, wo_v, bo_v, lns_v, lnb_v, *, n_heads: int,
-                             bf16: bool = False):
+                             bf16: bool = False, i_block: int = 4):
     """Args:
         angle:       [B, Nl(i), Nl(j), Nl(k)] triplet angles at vertex i
         tkj_k/tkj_v: [B, Nl(j), Nl(k), H] factorized (k->j) first-linear term
@@ -140,9 +144,12 @@ def triplet_attention_pallas(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask,
     B, Nl = angle.shape[0], angle.shape[1]
     H = tkj_k.shape[-1]
     hd = H // n_heads
-    hsum = (jnp.arange(H)[:, None] // hd ==
-            jnp.arange(n_heads)[None, :]).astype(jnp.float32)  # [H, heads]
-    grid = (B, Nl)
+    head_id = jnp.arange(H) // hd
+    hh = (head_id[:, None] == head_id[None, :]).astype(jnp.float32)  # [H, H]
+    IB = min(i_block, Nl)
+    while Nl % IB != 0:
+        IB //= 2
+    grid = (B, Nl // IB)
 
     def b_only(b, i):
         return (b, 0, 0, 0)
@@ -155,26 +162,28 @@ def triplet_attention_pallas(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask,
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        partial(_kernel, n_heads=n_heads, bf16=bf16),
+        partial(_kernel, n_heads=n_heads, bf16=bf16, i_block=IB),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, Nl, Nl), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),     # angle[b, i]
+            pl.BlockSpec((1, IB, Nl, Nl), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),     # angle[b, i-block]
             pl.BlockSpec((1, Nl, Nl, H), b_only, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Nl, H), bi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IB, Nl, H), bi, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Nl, Nl, H), b_only, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Nl, H), bi, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Nl, H), bi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IB, Nl, H), bi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IB, Nl, H), bi, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Nl, Nl), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),     # bond_mask[b]
-            w_spec((H, n_heads)),                      # head-sum matrix
+            w_spec((H, H)),                            # block-diag head matrix
             w_spec((ANG_PAD, H)), w_spec((H, H)), w_spec((1, H)),
             w_spec((1, H)), w_spec((1, H)),
             w_spec((ANG_PAD, H)), w_spec((H, H)), w_spec((1, H)),
             w_spec((1, H)), w_spec((1, H)),
         ],
-        out_specs=pl.BlockSpec((1, 1, Nl, H), bi, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, IB, Nl, H), bi, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Nl, Nl, H), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == 'cpu',
-    )(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask, hsum,
+    )(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask, hh,
       wa_k, wo_k, bo_k, lns_k, lnb_k, wa_v, wo_v, bo_v, lns_v, lnb_v)
