@@ -333,6 +333,7 @@ class BondTripletAttention(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     pallas_bf16: bool = False
+    i_block: int = 4
 
     @nn.compact
     def __call__(self, h_lig, h_bond, x_lig, bond_mask):
@@ -418,7 +419,7 @@ class BondTripletAttention(nn.Module):
                 q.astype(jnp.float32), bond_mask.astype(jnp.float32),
                 wa_k, wo_k, bo_k, lns_k, lnb_k,
                 wa_v, wo_v, bo_v, lns_v, lnb_v, n_heads=self.n_heads,
-                bf16=self.pallas_bf16)
+                bf16=self.pallas_bf16, i_block=self.i_block)
             return out.astype(in_dtype)
 
         # ---- dense XLA path ----
@@ -582,6 +583,7 @@ class AttentionLayerBond(nn.Module):
     pallas_bf16: bool = False
     n_etypes: int = 4
     gather_bf16: bool = False
+    triplet_i_block: int = 4
 
     @nn.compact
     def __call__(self, h, x, ed, h_bond, bond_mask,
@@ -616,7 +618,7 @@ class AttentionLayerBond(nn.Module):
         new_h_bond = h_bond + BondTripletAttention(
             self.hidden_dim, self.n_heads, include_h_node=self.include_h_node,
             dtype=self.dtype, use_pallas=self.use_pallas,
-            pallas_bf16=self.pallas_bf16,
+            pallas_bf16=self.pallas_bf16, i_block=self.triplet_i_block,
             name='bond_layer')(h_lig, h_bond, x_lig, bond_mask)
 
         # scatter the bond-stream node update into the full context
@@ -661,6 +663,7 @@ class UniTransformerBond(nn.Module):
     use_pallas: bool = False
     pallas_bf16: bool = False
     gather_bf16: bool = False  # bf16 [h | x_hi | x_lo] edge-kernel gathers
+    triplet_i_block: int = 4   # destination atoms per triplet-kernel program
     cutoff_mode: str = 'knn'   # ['knn', 'radius'] — radius keeps the top-k
     r_max: float = 10.0        # degree cap and masks edges beyond r_max
 
@@ -689,6 +692,7 @@ class UniTransformerBond(nn.Module):
             self.hidden_dim, self.n_heads, self.edge_feat_dim,
             self.x2h_out_fc, self.include_h_node, self.dtype,
             self.use_pallas, self.pallas_bf16, n_etypes, self.gather_bf16,
+            self.triplet_i_block,
             name=f'layer_{i}')
             for i in range(self.num_layers)]
 
