@@ -4,9 +4,15 @@ This is the metric in BASELINE.json ("Sampling sec/molecule, 1000-step DDPM").
 The reference publishes no wall-clock numbers (BASELINE.md "Throughput"); its
 sampler is a 1000-iteration Python loop with per-step kNN rebuilds, two
 torch.autograd guidance graphs and a .cpu() trajectory copy
-(ref models/decompdiff.py:552-703). `vs_baseline` is computed against an
-ESTIMATED 10 s/molecule for the PyTorch reference on A100 (batch 10, guided,
-1000 steps) — see BASELINE.md for why no published number exists.
+(ref models/decompdiff.py:552-703), and its torch_geometric/torch_scatter
+stack is not installable here, so no reference wall-clock can be measured on
+this host either.
+
+`vs_baseline` is therefore a MEASURED same-chip ratio: the dense (no-Pallas)
+XLA implementation of the same model and sampling protocol versus the fused
+Pallas path, on the same TPU chip. The dense path is the XLA analog of the
+reference's unfused per-op execution; 6.97 s/mol was measured in round 1
+(BASELINE.md table) and can be re-measured any time with `--dense`.
 
 Run configuration mirrors the released sampling protocol: full-size model
 (hidden 128, 6 layers, 16 heads, k=32, bond diffusion + triplet stream),
@@ -25,7 +31,9 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
 
 
-BASELINE_SEC_PER_MOL = 10.0  # estimated reference A100 (no published number)
+# Measured dense (no-Pallas) XLA path on this chip, round 1 (BASELINE.md);
+# re-measure with --dense.
+BASELINE_SEC_PER_MOL = 6.97
 
 BATCH = 8
 NUM_PROTEIN = 320
@@ -35,6 +43,8 @@ NUM_STEPS = 1000
 
 
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
 
@@ -44,8 +54,9 @@ def main():
     from decompdiff_tpu.utils.testing import (
         DEFAULT_MODEL_CONFIG, random_complex_batch)
 
+    dense = '--dense' in sys.argv[1:]  # re-measure the baseline path
     cfg = dict(DEFAULT_MODEL_CONFIG)
-    cfg['use_pallas'] = True  # fused triplet-attention kernel
+    cfg['use_pallas'] = not dense  # fused triplet-attention kernel
     model = DecompDiffModel.create(cfg, num_classes=8)
 
     rng = np.random.default_rng(0)
@@ -90,7 +101,8 @@ def main():
 
     sec_per_mol = elapsed / BATCH
     print(json.dumps({
-        'metric': 'sampling_sec_per_molecule_1000step_guided',
+        'metric': ('sampling_sec_per_molecule_1000step_guided_dense'
+                   if dense else 'sampling_sec_per_molecule_1000step_guided'),
         'value': round(sec_per_mol, 4),
         'unit': 's/mol',
         'vs_baseline': round(BASELINE_SEC_PER_MOL / sec_per_mol, 2),
