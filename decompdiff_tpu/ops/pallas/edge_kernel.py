@@ -154,6 +154,365 @@ def _edge_kernel(xd_ref, mld_ref, idx_ref, gsrc_ref, ew_ref, mask_ref,
         out_ref[0] = (alpha * v_t).sum(axis=1)      # [T, H]
 
 
+# --------------------------------------------------------------------------
+# Backward: fused recompute-in-VMEM kernel (see triplet_kernel.py for the
+# scheme). Emits per-edge cotangents d_hjx so XLA's gather-VJP performs the
+# scatter-add back to nodes outside the kernel; the distance/RBF/edge-feature
+# chain is differentiated in VMEM back to both endpoint coordinates.
+# Parameter cotangents accumulate across the sequential grid.
+# --------------------------------------------------------------------------
+
+def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, gsrc_ref, ew_ref,
+                     mask_ref, offs_ref, hjx_ref, tik_ref, tiv_ref, q_ref,
+                     hh_ref,
+                     wek_ref, wjk_ref, wok_ref, bok_ref, lnsk_ref, lnbk_ref,
+                     wev_ref, wjv_ref, wov_ref, bov_ref, lnsv_ref, lnbv_ref,
+                     d_xd_ref, d_ew_ref, d_hjx_ref, d_tik_ref, d_tiv_ref,
+                     d_q_ref,
+                     d_wek_ref, d_wjk_ref, d_wok_ref, d_bok_ref, d_lnsk_ref,
+                     d_lnbk_ref,
+                     d_wev_ref, d_wjv_ref, d_wov_ref, d_bov_ref, d_lnsv_ref,
+                     d_lnbv_ref,
+                     *, n_heads: int, pos_mode: bool, num_protein: int,
+                     n_etypes: int, gather_bf16: bool):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    xd = xd_ref[0]
+    hjx = hjx_ref[0]
+    T, K, Hx = hjx.shape
+    if gather_bf16:
+        H = Hx - 8
+        hj = hjx[..., :H].astype(jnp.float32).reshape(T * K, H)
+        xs = (hjx[..., H:H + 4].astype(jnp.float32)
+              + hjx[..., H + 4:].astype(jnp.float32))
+    else:
+        H = Hx - 4
+        hj = hjx[..., :H].reshape(T * K, H)
+        xs = hjx[..., H:]
+    hd = H // n_heads
+    TK = T * K
+    R1 = offs_ref.shape[-1] + 1                       # rbf lanes + const-1
+
+    # ---- forward replay (identical math to _edge_kernel) ----
+    rel = xd[:, None, :] - xs
+    d2 = (rel * rel).sum(-1)
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-24))
+    dd = dist.reshape(TK, 1) - offs_ref[0][None, :]
+    rbf = jnp.exp(-0.5 * dd * dd)
+    rbf1 = jnp.concatenate([rbf, jnp.ones((TK, 1), jnp.float32)], axis=1)
+
+    idxf = idx_ref[0].astype(jnp.float32)
+    ls = jnp.where(idxf >= float(num_protein), 1.0, 0.0)
+    ld = jnp.broadcast_to(
+        mld_ref[0][:, 0:1][:, None, :], (T, K, 1)).reshape(TK, 1)
+    attrs = [ls * ld, ls * (1.0 - ld),
+             (1.0 - ls) * ld, (1.0 - ls) * (1.0 - ld)]
+    if n_etypes == 6:
+        gs = gsrc_ref[0]
+        gd = jnp.broadcast_to(
+            mld_ref[0][:, 1:2][:, None, :], (T, K, 1)).reshape(TK, 1)
+        same = jnp.where(gs == gd, 1.0, 0.0)
+        attrs += [1.0 - same, same]
+    z = jnp.concatenate([a * rbf1 for a in attrs], axis=1)   # [TK, F*R1]
+
+    def recompute(we_ref, wj_ref, wo_ref, bo_ref, lns_ref, lnb_ref, ti_ref):
+        pre = jnp.dot(z, we_ref[:n_etypes * 21, :],
+                      preferred_element_type=jnp.float32)
+        pre = pre + jnp.dot(hj, wj_ref[:],
+                            preferred_element_type=jnp.float32)
+        pre = pre.reshape(T, K, H)
+        pre = pre + ti_ref[0][:, None, :]
+        mean = pre.mean(-1, keepdims=True)
+        var = ((pre - mean) ** 2).mean(-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + 1e-5)
+        xhat = (pre - mean) * rstd
+        y = jnp.maximum(xhat * lns_ref[0] + lnb_ref[0], 0.0)
+        o = jnp.dot(y.reshape(TK, H), wo_ref[:],
+                    preferred_element_type=jnp.float32)
+        return xhat, rstd, y, o.reshape(T, K, H) + bo_ref[0]
+
+    xhat_k, rstd_k, y_k, k_t = recompute(wek_ref, wjk_ref, wok_ref, bok_ref,
+                                         lnsk_ref, lnbk_ref, tik_ref)
+    xhat_v, rstd_v, y_v, v_raw = recompute(wev_ref, wjv_ref, wov_ref, bov_ref,
+                                           lnsv_ref, lnbv_ref, tiv_ref)
+    ew = ew_ref[0]
+    v_t = v_raw * ew[..., None]
+
+    q = q_ref[0]
+    qk = q[:, None, :] * k_t
+    scale = 1.0 / np.sqrt(hd)
+    hlog = jnp.dot(qk.reshape(TK, H), hh_ref[:],
+                   preferred_element_type=jnp.float32)
+    hlog = hlog.reshape(T, K, H) * scale
+    valid = mask_ref[0]
+    hlog = jnp.where(valid[..., None] > 0.5, hlog, jnp.float32(-1e30))
+    m = jnp.maximum(jnp.max(hlog, axis=1, keepdims=True), -1e29)
+    e = jnp.where(valid[..., None] > 0.5, jnp.exp(hlog - m), 0.0)
+    denom = jnp.maximum(e.sum(axis=1, keepdims=True), 1e-16)
+    alpha = e * (1.0 / denom)
+
+    # ---- backward ----
+    g = g_ref[0]                                     # [T, H] or [T, 4]
+    if pos_mode:
+        w = (alpha * v_t).sum(-1) * (1.0 / H)
+        d_rel = w[..., None] * g[:, None, :]         # [T, K, 4]
+        d_w = (rel * g[:, None, :]).sum(-1)
+        d_alpha = d_w[..., None] * v_t * (1.0 / H)
+        d_vt = d_w[..., None] * alpha * (1.0 / H)
+    else:
+        d_rel = jnp.zeros_like(rel)
+        d_vt = alpha * g[:, None, :]
+        d_alpha = g[:, None, :] * v_t
+
+    s_dot = (alpha * d_alpha).sum(axis=1, keepdims=True)
+    d_hlog = alpha * (d_alpha - s_dot)
+    d_qk = jnp.dot(d_hlog.reshape(TK, H), hh_ref[:],
+                   preferred_element_type=jnp.float32)
+    d_qk = d_qk.reshape(T, K, H) * scale
+    d_q_ref[0] = (d_qk * k_t).sum(axis=1)
+    d_kt = d_qk * q[:, None, :]
+
+    d_ew_ref[0] = (d_vt * v_raw).sum(-1)
+    d_vraw = d_vt * ew[..., None]
+
+    first = jnp.logical_and(b == 0, t == 0)
+
+    def branch_bwd(d_o, xhat, rstd, y, we_ref, wj_ref, wo_ref, lns_ref,
+                   d_ti_ref, d_we_ref, d_wj_ref, d_wo_ref, d_bo_ref,
+                   d_lns_ref, d_lnb_ref):
+        d_o2 = d_o.reshape(TK, H)
+        y2 = y.reshape(TK, H)
+
+        @pl.when(first)
+        def _():
+            d_we_ref[...] = jnp.zeros_like(d_we_ref)
+            d_wj_ref[...] = jnp.zeros_like(d_wj_ref)
+            d_wo_ref[...] = jnp.zeros_like(d_wo_ref)
+            d_bo_ref[...] = jnp.zeros_like(d_bo_ref)
+            d_lns_ref[...] = jnp.zeros_like(d_lns_ref)
+            d_lnb_ref[...] = jnp.zeros_like(d_lnb_ref)
+
+        d_bo_ref[...] += d_o2.sum(axis=0, keepdims=True)
+        d_wo_ref[...] += jax.lax.dot_general(
+            y2, d_o2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_y = jax.lax.dot_general(
+            d_o2, wo_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(T, K, H)
+        d_u = d_y * (y > 0.0).astype(jnp.float32)
+        d_lns_ref[...] += (d_u * xhat).reshape(TK, H).sum(axis=0,
+                                                          keepdims=True)
+        d_lnb_ref[...] += d_u.reshape(TK, H).sum(axis=0, keepdims=True)
+        d_xhat = d_u * lns_ref[0]
+        d_pre = rstd * (d_xhat - d_xhat.mean(-1, keepdims=True)
+                        - xhat * (d_xhat * xhat).mean(-1, keepdims=True))
+        d_ti_ref[0] = d_pre.sum(axis=1)
+        d_pre2 = d_pre.reshape(TK, H)
+        # z is zero beyond n_etypes*21 rows of We, so padding the z-transpose
+        # matmul to the full EDGE_FEAT_PAD rows adds exact zeros
+        nF = n_etypes * 21
+        zp = jnp.concatenate(
+            [z, jnp.zeros((TK, EDGE_FEAT_PAD - nF), jnp.float32)], axis=1)
+        d_we_ref[...] += jax.lax.dot_general(
+            zp, d_pre2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_z = jax.lax.dot_general(
+            d_pre2, we_ref[:nF, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [TK, F*R1]
+        d_wj_ref[...] += jax.lax.dot_general(
+            hj, d_pre2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_hj = jax.lax.dot_general(
+            d_pre2, wj_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return d_z, d_hj
+
+    d_z_k, d_hj_k = branch_bwd(d_kt, xhat_k, rstd_k, y_k, wek_ref, wjk_ref,
+                               wok_ref, lnsk_ref, d_tik_ref, d_wek_ref,
+                               d_wjk_ref, d_wok_ref, d_bok_ref, d_lnsk_ref,
+                               d_lnbk_ref)
+    d_z_v, d_hj_v = branch_bwd(d_vraw, xhat_v, rstd_v, y_v, wev_ref, wjv_ref,
+                               wov_ref, lnsv_ref, d_tiv_ref, d_wev_ref,
+                               d_wjv_ref, d_wov_ref, d_bov_ref, d_lnsv_ref,
+                               d_lnbv_ref)
+    d_z = d_z_k + d_z_v
+    d_hj = d_hj_k + d_hj_v
+
+    # d_rbf1[e, r] = sum_f attrs_f[e] * d_z[e, f*R1 + r]: fold the per-type
+    # weights in elementwise, then collapse the F blocks with one [F*R1, R1]
+    # 0/1 selection matmul (S[c, r] = 1 iff c % R1 == r)
+    attrs_exp = jnp.concatenate(
+        [jnp.broadcast_to(a, (TK, R1)) for a in attrs], axis=1)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (n_etypes * R1, R1), 0)
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (n_etypes * R1, R1), 1)
+    sel = (c_ids % R1 == r_ids).astype(jnp.float32)
+    d_rbf1 = jnp.dot(d_z * attrs_exp, sel,
+                     preferred_element_type=jnp.float32)  # [TK, R1]
+
+    # rbf1 = [exp(-dd^2/2) | 1]; extend dd by a zero lane so the const-1
+    # column contributes exactly zero gradient
+    dd1 = jnp.concatenate([dd, jnp.zeros((TK, 1), jnp.float32)], axis=1)
+    d_dist = (d_rbf1 * (-dd1 * rbf1)).sum(-1).reshape(T, K)
+    d_d2 = jnp.where(d2 > 1e-24, d_dist * 0.5 / dist, 0.0)
+    d_rel = d_rel + 2.0 * d_d2[..., None] * rel
+
+    d_xd_ref[0] = d_rel.sum(axis=1)
+    d_xs = -d_rel
+    d_hj3 = d_hj.reshape(T, K, H)
+    if gather_bf16:
+        d_hjx = jnp.concatenate([d_hj3, d_xs, d_xs], axis=-1)
+        d_hjx_ref[0] = d_hjx.astype(jnp.bfloat16)
+    else:
+        d_hjx_ref[0] = jnp.concatenate([d_hj3, d_xs], axis=-1)
+
+
+def _edge_specs(B, N, K, Hx, H, tile, pos_mode):
+    out_dim = 4 if pos_mode else H
+
+    def bt3(b, t):
+        return (b, t, 0)
+
+    def bt4(b, t):
+        return (b, t, 0, 0)
+
+    def w_spec(shape):
+        return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, tile, 4), bt3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, 2), bt3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile * K, 1), bt3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile * K, 1), bt3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, K), bt3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, K), bt3, memory_space=pltpu.VMEM),
+        w_spec((1, len(FIXED_RBF_OFFSETS))),
+        pl.BlockSpec((1, tile, K, Hx), bt4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
+        w_spec((H, H)),
+        w_spec((EDGE_FEAT_PAD, H)), w_spec((H, H)), w_spec((H, H)),
+        w_spec((1, H)), w_spec((1, H)), w_spec((1, H)),
+        w_spec((EDGE_FEAT_PAD, H)), w_spec((H, H)), w_spec((H, H)),
+        w_spec((1, H)), w_spec((1, H)), w_spec((1, H)),
+    ]
+    return in_specs, bt3, bt4, w_spec, out_dim
+
+
+def _edge_fwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
+                   gather_bf16, xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask,
+                   offsets, hjx, ti_k, ti_v, q, hh, *params):
+    B, N, K, Hx = hjx.shape
+    H = Hx - (8 if gather_bf16 else 4)
+    in_specs, bt3, _, _, out_dim = _edge_specs(B, N, K, Hx, H, tile, pos_mode)
+    return pl.pallas_call(
+        partial(_edge_kernel, n_heads=n_heads, pos_mode=pos_mode,
+                num_protein=num_protein, n_etypes=n_etypes,
+                gather_bf16=gather_bf16),
+        grid=(B, N // tile),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, out_dim), bt3,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, out_dim), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() == 'cpu',
+    )(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask, offsets, hjx,
+      ti_k, ti_v, q, hh, *params)
+
+
+def _edge_bwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
+                   gather_bf16, g, xd4, mld, idx_flat, gsrc_flat, e_w,
+                   nbr_mask, offsets, hjx, ti_k, ti_v, q, hh, *params):
+    B, N, K, Hx = hjx.shape
+    H = Hx - (8 if gather_bf16 else 4)
+    in_specs, bt3, bt4, w_spec, out_dim = _edge_specs(B, N, K, Hx, H, tile,
+                                                      pos_mode)
+    f32 = jnp.float32
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, N, 4), f32),          # d_xd4
+        jax.ShapeDtypeStruct((B, N, K), f32),          # d_ew
+        jax.ShapeDtypeStruct((B, N, K, Hx), hjx.dtype),  # d_hjx
+        jax.ShapeDtypeStruct((B, N, H), f32),          # d_ti_k
+        jax.ShapeDtypeStruct((B, N, H), f32),          # d_ti_v
+        jax.ShapeDtypeStruct((B, N, H), f32),          # d_q
+        jax.ShapeDtypeStruct((EDGE_FEAT_PAD, H), f32),
+        jax.ShapeDtypeStruct((H, H), f32),
+        jax.ShapeDtypeStruct((H, H), f32),
+        jax.ShapeDtypeStruct((1, H), f32),
+        jax.ShapeDtypeStruct((1, H), f32),
+        jax.ShapeDtypeStruct((1, H), f32),
+        jax.ShapeDtypeStruct((EDGE_FEAT_PAD, H), f32),
+        jax.ShapeDtypeStruct((H, H), f32),
+        jax.ShapeDtypeStruct((H, H), f32),
+        jax.ShapeDtypeStruct((1, H), f32),
+        jax.ShapeDtypeStruct((1, H), f32),
+        jax.ShapeDtypeStruct((1, H), f32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, tile, 4), bt3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, K), bt3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, K, Hx), bt4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
+        w_spec((EDGE_FEAT_PAD, H)), w_spec((H, H)), w_spec((H, H)),
+        w_spec((1, H)), w_spec((1, H)), w_spec((1, H)),
+        w_spec((EDGE_FEAT_PAD, H)), w_spec((H, H)), w_spec((H, H)),
+        w_spec((1, H)), w_spec((1, H)), w_spec((1, H)),
+    )
+    g_spec = pl.BlockSpec((1, tile, out_dim), bt3, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_edge_bwd_kernel, n_heads=n_heads, pos_mode=pos_mode,
+                num_protein=num_protein, n_etypes=n_etypes,
+                gather_bf16=gather_bf16),
+        grid=(B, N // tile),
+        in_specs=[g_spec] + in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() == 'cpu',
+    )(g, xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask, offsets, hjx,
+      ti_k, ti_v, q, hh, *params)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _edge_core(n_heads, pos_mode, num_protein, n_etypes, tile, gather_bf16,
+               xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask, offsets, hjx,
+               ti_k, ti_v, q, hh, *params):
+    return _edge_fwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
+                          gather_bf16, xd4, mld, idx_flat, gsrc_flat, e_w,
+                          nbr_mask, offsets, hjx, ti_k, ti_v, q, hh, *params)
+
+
+def _edge_core_fwd(n_heads, pos_mode, num_protein, n_etypes, tile,
+                   gather_bf16, *args):
+    out = _edge_core(n_heads, pos_mode, num_protein, n_etypes, tile,
+                     gather_bf16, *args)
+    return out, args
+
+
+def _edge_core_bwd(n_heads, pos_mode, num_protein, n_etypes, tile,
+                   gather_bf16, res, g):
+    (xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask, offsets, hjx,
+     ti_k, ti_v, q, hh) = res[:12]
+    params = res[12:]
+    outs = _edge_bwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
+                          gather_bf16, g, *res)
+    d_xd4, d_ew, d_hjx, d_ti_k, d_ti_v, d_q = outs[:6]
+    # integer primals take float0 cotangents
+    d_idx = np.zeros(idx_flat.shape, jax.dtypes.float0)
+    return ((d_xd4, jnp.zeros_like(mld), d_idx,
+             jnp.zeros_like(gsrc_flat), d_ew, jnp.zeros_like(nbr_mask),
+             jnp.zeros_like(offsets), d_hjx, d_ti_k, d_ti_v, d_q,
+             jnp.zeros_like(hh)) + tuple(outs[6:]))
+
+
+_edge_core.defvjp(_edge_core_fwd, _edge_core_bwd)
+
+
 @partial(jax.jit, static_argnames=('n_heads', 'pos_mode', 'num_protein',
                                    'n_etypes', 'tile'))
 def edge_attention_pallas(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask,
@@ -178,6 +537,9 @@ def edge_attention_pallas(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask,
         wo_k:    [H, H]; wo_v: [H, H] (pos mode: host-replicated columns)
         bo_*/lns_*/lnb_*: [1, H]
     Returns [B, N, H] (node mode) or [B, N, 4] dx (pos mode).
+
+    Differentiable via a fused recompute-in-VMEM backward kernel; the d_hjx
+    cotangent scatters back to nodes through the gather's own VJP.
     """
     B, N, K, Hx = hjx.shape
     gather_bf16 = hjx.dtype == jnp.bfloat16
@@ -189,53 +551,13 @@ def edge_attention_pallas(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask,
         while N % tile != 0:
             tile //= 2
     assert N % tile == 0, (N, tile)
-    grid = (B, N // tile)
-    out_dim = 4 if pos_mode else H
-
-    def bt3(b, t):
-        return (b, t, 0)
-
-    def bt4(b, t):
-        return (b, t, 0, 0)
-
-    def w_spec(shape):
-        return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
 
     hd = H // n_heads
     head_id = jnp.arange(H) // hd
     hh = (head_id[:, None] == head_id[None, :]).astype(jnp.float32)  # [H, H]
 
-    return pl.pallas_call(
-        partial(_edge_kernel, n_heads=n_heads, pos_mode=pos_mode,
-                num_protein=num_protein, n_etypes=n_etypes,
-                gather_bf16=gather_bf16),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tile, 4), bt3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 2), bt3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile * K, 1), bt3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile * K, 1), bt3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, K), bt3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, K), bt3, memory_space=pltpu.VMEM),
-            w_spec((1, len(FIXED_RBF_OFFSETS))),
-            pl.BlockSpec((1, tile, K, Hx), bt4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
-            w_spec((H, H)),
-            w_spec((EDGE_FEAT_PAD, H)), w_spec((H, H)), w_spec((H, H)),
-            w_spec((1, H)), w_spec((1, H)), w_spec((1, H)),
-            w_spec((EDGE_FEAT_PAD, H)), w_spec((H, H)), w_spec((H, H)),
-            w_spec((1, H)), w_spec((1, H)), w_spec((1, H)),
-        ],
-        out_specs=pl.BlockSpec((1, tile, out_dim), bt3,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, out_dim), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=jax.default_backend() == 'cpu',
-    )(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask, offsets, hjx,
-      ti_k, ti_v, q, hh,
-      we_k, wj_k, wo_k, bo_k, lns_k, lnb_k,
-      we_v, wj_v, wo_v, bo_v, lns_v, lnb_v)
+    return _edge_core(n_heads, pos_mode, num_protein, n_etypes, tile,
+                      gather_bf16, xd4, mld, idx_flat, gsrc_flat, e_w,
+                      nbr_mask, offsets, hjx, ti_k, ti_v, q, hh,
+                      we_k, wj_k, wo_k, bo_k, lns_k, lnb_k,
+                      we_v, wj_v, wo_v, bo_v, lns_v, lnb_v)

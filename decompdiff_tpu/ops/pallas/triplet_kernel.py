@@ -125,30 +125,23 @@ def _kernel(angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
     out_ref[0] = out
 
 
-@partial(jax.jit, static_argnames=('n_heads', 'bf16', 'i_block'))
-def triplet_attention_pallas(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask,
-                             wa_k, wo_k, bo_k, lns_k, lnb_k,
-                             wa_v, wo_v, bo_v, lns_v, lnb_v, *, n_heads: int,
-                             bf16: bool = False, i_block: int = 4):
-    """Args:
-        angle:       [B, Nl(i), Nl(j), Nl(k)] triplet angles at vertex i
-        tkj_k/tkj_v: [B, Nl(j), Nl(k), H] factorized (k->j) first-linear term
-                     per branch (h_bond/r_feat/h_k/h_j contributions + bias)
-        tij_k/tij_v: [B, Nl(i), Nl(j), H] factorized (i,j) term (r_feat_ij)
-        q:           [B, Nl(i), Nl(j), H] query projections
-        bond_mask:   [B, Nl, Nl] float (1 = real fc bond)
-        wa_*:        [16, H] angular-code projection (13 rows used)
-        wo_*:        [H, H] second linear;  lns_/lnb_: [1, H] LayerNorm params
-    Returns out [B, Nl, Nl, H].
-    """
-    B, Nl = angle.shape[0], angle.shape[1]
-    H = tkj_k.shape[-1]
-    hd = H // n_heads
-    head_id = jnp.arange(H) // hd
-    hh = (head_id[:, None] == head_id[None, :]).astype(jnp.float32)  # [H, H]
+def _pick_i_block(i_block: int, Nl: int) -> int:
     IB = min(i_block, Nl)
     while Nl % IB != 0:
         IB //= 2
+    return IB
+
+
+def _head_matrix(H: int, n_heads: int):
+    head_id = jnp.arange(H) // (H // n_heads)
+    return (head_id[:, None] == head_id[None, :]).astype(jnp.float32)
+
+
+def _fwd_call(n_heads, bf16, IB, angle, tkj_k, tij_k, tkj_v, tij_v, q,
+              bond_mask, hh, wa_k, wo_k, bo_k, lns_k, lnb_k,
+              wa_v, wo_v, bo_v, lns_v, lnb_v):
+    B, Nl = angle.shape[0], angle.shape[1]
+    H = tkj_k.shape[-1]
     grid = (B, Nl // IB)
 
     def b_only(b, i):
@@ -187,3 +180,292 @@ def triplet_attention_pallas(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask,
         interpret=jax.default_backend() == 'cpu',
     )(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask, hh,
       wa_k, wo_k, bo_k, lns_k, lnb_k, wa_v, wo_v, bo_v, lns_v, lnb_v)
+
+
+# --------------------------------------------------------------------------
+# Backward: one fused kernel that recomputes every cubic intermediate in
+# VMEM (rematerialization — the HBM cost of saving them would dwarf the
+# recompute FLOPs on TPU) and emits cotangents for all inputs and params.
+# Parameter grads and the i-summed d_tkj accumulate across sequential grid
+# programs into resident VMEM output blocks.
+# --------------------------------------------------------------------------
+
+def _angular_grad_code(x):
+    """d(angular code)/dx as 16 lanes: [1, f*cos(f x)..., -f*sin(f x)..., 0]."""
+    cols = [jnp.ones_like(x)]
+    cols += [f * jnp.cos(x * f) for f in _ANG_FREQS]
+    cols += [-f * jnp.sin(x * f) for f in _ANG_FREQS]
+    cols += [jnp.zeros_like(x)] * 3
+    return jnp.stack(cols, axis=-1)
+
+
+def _bwd_kernel(g_ref, angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
+                q_ref, mask_ref, hh_ref,
+                wa_k_ref, wo_k_ref, bo_k_ref, lns_k_ref, lnb_k_ref,
+                wa_v_ref, wo_v_ref, bo_v_ref, lns_v_ref, lnb_v_ref,
+                d_angle_ref, d_tkj_k_ref, d_tij_k_ref, d_tkj_v_ref,
+                d_tij_v_ref, d_q_ref,
+                d_wa_k_ref, d_wo_k_ref, d_bo_k_ref, d_lns_k_ref, d_lnb_k_ref,
+                d_wa_v_ref, d_wo_v_ref, d_bo_v_ref, d_lns_v_ref, d_lnb_v_ref,
+                *, n_heads: int, i_block: int):
+    IB = i_block
+    b = pl.program_id(0)
+    ip = pl.program_id(1)
+    i0 = ip * IB
+    angle = angle_ref[0]            # [IB, Nl, Nl]
+    Nl = angle.shape[-1]
+    H = tkj_k_ref.shape[-1]
+    hd = H // n_heads
+    NN = IB * Nl * Nl
+    eps = 1e-5
+
+    af2 = _angular_encode_padded(angle).reshape(NN, ANG_PAD)
+
+    def recompute(tkj_ref, tij_ref, wa_ref, lns_ref, lnb_ref):
+        """Replay of the forward branch, returning what its backward needs."""
+        pre = jnp.dot(af2, wa_ref[:], preferred_element_type=jnp.float32)
+        pre = pre.reshape(IB, Nl, Nl, H)
+        pre = pre + tkj_ref[0][None] + tij_ref[0][:, :, None, :]
+        mean = pre.mean(-1, keepdims=True)
+        var = ((pre - mean) ** 2).mean(-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = (pre - mean) * rstd
+        u = xhat * lns_ref[0] + lnb_ref[0]
+        y = jnp.maximum(u, 0.0)
+        return xhat, rstd, y
+
+    xhat_k, rstd_k, y_k = recompute(tkj_k_ref, tij_k_ref, wa_k_ref,
+                                    lns_k_ref, lnb_k_ref)
+    xhat_v, rstd_v, y_v = recompute(tkj_v_ref, tij_v_ref, wa_v_ref,
+                                    lns_v_ref, lnb_v_ref)
+    k_t = (jnp.dot(y_k.reshape(NN, H), wo_k_ref[:],
+                   preferred_element_type=jnp.float32).reshape(IB, Nl, Nl, H)
+           + bo_k_ref[0])
+    v_t = (jnp.dot(y_v.reshape(NN, H), wo_v_ref[:],
+                   preferred_element_type=jnp.float32).reshape(IB, Nl, Nl, H)
+           + bo_v_ref[0])
+
+    # attention replay (identical masking to _kernel)
+    q = q_ref[0]
+    qk = q[:, :, None, :] * k_t
+    scale = 1.0 / np.sqrt(hd)
+    hlog = jnp.dot(qk.reshape(NN, H), hh_ref[:],
+                   preferred_element_type=jnp.float32)
+    hlog = hlog.reshape(IB, Nl, Nl, H) * scale
+    bm = mask_ref[0]
+    bm_i = mask_ref[0, pl.ds(i0, IB), :]
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (IB, Nl, Nl), 2)
+    i_ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (IB, Nl, Nl), 0)
+    valid = (bm_i[:, :, None] * bm[None]) * (
+        k_ids != i_ids).astype(jnp.float32)
+    hlog = jnp.where(valid[..., None] > 0.5, hlog, jnp.float32(-1e30))
+    m = jnp.maximum(jnp.max(hlog, axis=2, keepdims=True), -1e29)
+    e = jnp.where(valid[..., None] > 0.5, jnp.exp(hlog - m), 0.0)
+    denom = jnp.maximum(e.sum(axis=2, keepdims=True), 1e-16)
+    alpha = e * (1.0 / denom)
+
+    # attention backward
+    g = g_ref[0]                                       # [IB, j, H]
+    d_vt = alpha * g[:, :, None, :]
+    d_alpha = g[:, :, None, :] * v_t
+    s_dot = (alpha * d_alpha).sum(axis=2, keepdims=True)
+    d_hlog = alpha * (d_alpha - s_dot)
+    d_qk = jnp.dot(d_hlog.reshape(NN, H), hh_ref[:],
+                   preferred_element_type=jnp.float32)
+    d_qk = d_qk.reshape(IB, Nl, Nl, H) * scale
+    d_q_ref[0] = (d_qk * k_t).sum(axis=2)
+    d_kt = d_qk * q[:, :, None, :]
+
+    first = jnp.logical_and(b == 0, ip == 0)
+
+    def branch_bwd(d_o, xhat, rstd, y, wa_ref, wo_ref, lns_ref,
+                   d_tkj_ref, d_tij_ref, d_wa_ref, d_wo_ref, d_bo_ref,
+                   d_lns_ref, d_lnb_ref):
+        d_o2 = d_o.reshape(NN, H)
+        y2 = y.reshape(NN, H)
+
+        @pl.when(first)
+        def _():
+            d_wa_ref[...] = jnp.zeros_like(d_wa_ref)
+            d_wo_ref[...] = jnp.zeros_like(d_wo_ref)
+            d_bo_ref[...] = jnp.zeros_like(d_bo_ref)
+            d_lns_ref[...] = jnp.zeros_like(d_lns_ref)
+            d_lnb_ref[...] = jnp.zeros_like(d_lnb_ref)
+
+        d_bo_ref[...] += d_o2.sum(axis=0, keepdims=True)
+        d_wo_ref[...] += jax.lax.dot_general(
+            y2, d_o2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_y = jax.lax.dot_general(
+            d_o2, wo_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(IB, Nl, Nl, H)
+        d_u = d_y * (y > 0.0).astype(jnp.float32)
+        d_lns_ref[...] += (d_u * xhat).reshape(NN, H).sum(axis=0,
+                                                          keepdims=True)
+        d_lnb_ref[...] += d_u.reshape(NN, H).sum(axis=0, keepdims=True)
+        d_xhat = d_u * lns_ref[0]
+        d_pre = rstd * (d_xhat - d_xhat.mean(-1, keepdims=True)
+                        - xhat * (d_xhat * xhat).mean(-1, keepdims=True))
+
+        @pl.when(ip == 0)
+        def _():
+            d_tkj_ref[...] = jnp.zeros_like(d_tkj_ref)
+
+        d_tkj_ref[0] += d_pre.sum(axis=0)
+        d_tij_ref[0] = d_pre.sum(axis=2)
+        d_pre2 = d_pre.reshape(NN, H)
+        d_wa_ref[...] += jax.lax.dot_general(
+            af2, d_pre2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_af2 = jax.lax.dot_general(
+            d_pre2, wa_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return d_af2
+
+    d_af_k = branch_bwd(d_kt, xhat_k, rstd_k, y_k, wa_k_ref, wo_k_ref,
+                        lns_k_ref, d_tkj_k_ref, d_tij_k_ref, d_wa_k_ref,
+                        d_wo_k_ref, d_bo_k_ref, d_lns_k_ref, d_lnb_k_ref)
+    d_af_v = branch_bwd(d_vt, xhat_v, rstd_v, y_v, wa_v_ref, wo_v_ref,
+                        lns_v_ref, d_tkj_v_ref, d_tij_v_ref, d_wa_v_ref,
+                        d_wo_v_ref, d_bo_v_ref, d_lns_v_ref, d_lnb_v_ref)
+
+    dcode = _angular_grad_code(angle).reshape(NN, ANG_PAD)
+    d_angle = ((d_af_k + d_af_v) * dcode).sum(axis=-1)
+    d_angle_ref[0] = d_angle.reshape(IB, Nl, Nl)
+
+
+def _bwd_call(n_heads, IB, g, angle, tkj_k, tij_k, tkj_v, tij_v, q,
+              bond_mask, hh, wa_k, wo_k, bo_k, lns_k, lnb_k,
+              wa_v, wo_v, bo_v, lns_v, lnb_v):
+    B, Nl = angle.shape[0], angle.shape[1]
+    H = tkj_k.shape[-1]
+    grid = (B, Nl // IB)
+
+    def b_only(b, i):
+        return (b, 0, 0, 0)
+
+    def bi(b, i):
+        return (b, i, 0, 0)
+
+    def w_spec(shape):
+        return pl.BlockSpec(shape, lambda b, i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, Nl, Nl, Nl), f32),    # d_angle
+        jax.ShapeDtypeStruct((B, Nl, Nl, H), f32),     # d_tkj_k (i-summed)
+        jax.ShapeDtypeStruct((B, Nl, Nl, H), f32),     # d_tij_k
+        jax.ShapeDtypeStruct((B, Nl, Nl, H), f32),     # d_tkj_v
+        jax.ShapeDtypeStruct((B, Nl, Nl, H), f32),     # d_tij_v
+        jax.ShapeDtypeStruct((B, Nl, Nl, H), f32),     # d_q
+        jax.ShapeDtypeStruct((ANG_PAD, H), f32),
+        jax.ShapeDtypeStruct((H, H), f32),
+        jax.ShapeDtypeStruct((1, H), f32),
+        jax.ShapeDtypeStruct((1, H), f32),
+        jax.ShapeDtypeStruct((1, H), f32),
+        jax.ShapeDtypeStruct((ANG_PAD, H), f32),
+        jax.ShapeDtypeStruct((H, H), f32),
+        jax.ShapeDtypeStruct((1, H), f32),
+        jax.ShapeDtypeStruct((1, H), f32),
+        jax.ShapeDtypeStruct((1, H), f32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, IB, Nl, Nl), bi, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Nl, Nl, H), b_only, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, IB, Nl, H), bi, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Nl, Nl, H), b_only, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, IB, Nl, H), bi, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, IB, Nl, H), bi, memory_space=pltpu.VMEM),
+        w_spec((ANG_PAD, H)), w_spec((H, H)), w_spec((1, H)),
+        w_spec((1, H)), w_spec((1, H)),
+        w_spec((ANG_PAD, H)), w_spec((H, H)), w_spec((1, H)),
+        w_spec((1, H)), w_spec((1, H)),
+    )
+    return pl.pallas_call(
+        partial(_bwd_kernel, n_heads=n_heads, i_block=IB),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, IB, Nl, H), bi, memory_space=pltpu.VMEM),  # g
+            pl.BlockSpec((1, IB, Nl, Nl), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nl, Nl, H), b_only, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IB, Nl, H), bi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nl, Nl, H), b_only, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IB, Nl, H), bi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IB, Nl, H), bi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nl, Nl), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            w_spec((H, H)),
+            w_spec((ANG_PAD, H)), w_spec((H, H)), w_spec((1, H)),
+            w_spec((1, H)), w_spec((1, H)),
+            w_spec((ANG_PAD, H)), w_spec((H, H)), w_spec((1, H)),
+            w_spec((1, H)), w_spec((1, H)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() == 'cpu',
+    )(g, angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask, hh,
+      wa_k, wo_k, bo_k, lns_k, lnb_k, wa_v, wo_v, bo_v, lns_v, lnb_v)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _triplet_core(n_heads, bf16, IB, angle, tkj_k, tij_k, tkj_v, tij_v, q,
+                  bond_mask, hh, wa_k, wo_k, bo_k, lns_k, lnb_k,
+                  wa_v, wo_v, bo_v, lns_v, lnb_v):
+    return _fwd_call(n_heads, bf16, IB, angle, tkj_k, tij_k, tkj_v, tij_v, q,
+                     bond_mask, hh, wa_k, wo_k, bo_k, lns_k, lnb_k,
+                     wa_v, wo_v, bo_v, lns_v, lnb_v)
+
+
+def _triplet_core_fwd(n_heads, bf16, IB, *args):
+    return _triplet_core(n_heads, bf16, IB, *args), args
+
+
+def _triplet_core_bwd(n_heads, bf16, IB, res, g):
+    (angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask, hh,
+     wa_k, wo_k, bo_k, lns_k, lnb_k, wa_v, wo_v, bo_v, lns_v, lnb_v) = res
+    (d_angle, d_tkj_k, d_tij_k, d_tkj_v, d_tij_v, d_q,
+     d_wa_k, d_wo_k, d_bo_k, d_lns_k, d_lnb_k,
+     d_wa_v, d_wo_v, d_bo_v, d_lns_v, d_lnb_v) = _bwd_call(
+        n_heads, IB, g, angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask, hh,
+        wa_k, wo_k, bo_k, lns_k, lnb_k, wa_v, wo_v, bo_v, lns_v, lnb_v)
+    return (d_angle, d_tkj_k, d_tij_k, d_tkj_v, d_tij_v, d_q,
+            jnp.zeros_like(bond_mask), jnp.zeros_like(hh),
+            d_wa_k, d_wo_k, d_bo_k, d_lns_k, d_lnb_k,
+            d_wa_v, d_wo_v, d_bo_v, d_lns_v, d_lnb_v)
+
+
+_triplet_core.defvjp(_triplet_core_fwd, _triplet_core_bwd)
+
+
+@partial(jax.jit, static_argnames=('n_heads', 'bf16', 'i_block'))
+def triplet_attention_pallas(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask,
+                             wa_k, wo_k, bo_k, lns_k, lnb_k,
+                             wa_v, wo_v, bo_v, lns_v, lnb_v, *, n_heads: int,
+                             bf16: bool = False, i_block: int = 4):
+    """Args:
+        angle:       [B, Nl(i), Nl(j), Nl(k)] triplet angles at vertex i
+        tkj_k/tkj_v: [B, Nl(j), Nl(k), H] factorized (k->j) first-linear term
+                     per branch (h_bond/r_feat/h_k/h_j contributions + bias)
+        tij_k/tij_v: [B, Nl(i), Nl(j), H] factorized (i,j) term (r_feat_ij)
+        q:           [B, Nl(i), Nl(j), H] query projections
+        bond_mask:   [B, Nl, Nl] float (1 = real fc bond)
+        wa_*:        [16, H] angular-code projection (13 rows used)
+        wo_*:        [H, H] second linear;  lns_/lnb_: [1, H] LayerNorm params
+    Returns out [B, Nl, Nl, H].
+
+    Differentiable: a custom VJP runs a second fused kernel that
+    rematerializes the cubic intermediates in VMEM, so training never
+    materializes the O(Nl^3 H) tensors in HBM either. The backward kernel is
+    always f32 (bf16 only affects forward numerics).
+    """
+    B, Nl = angle.shape[0], angle.shape[1]
+    H = tkj_k.shape[-1]
+    hh = _head_matrix(H, n_heads)
+    IB = _pick_i_block(i_block, Nl)
+    return _triplet_core(n_heads, bf16, IB, angle, tkj_k, tij_k, tkj_v,
+                         tij_v, q, bond_mask, hh, wa_k, wo_k, bo_k, lns_k,
+                         lnb_k, wa_v, wo_v, bo_v, lns_v, lnb_v)

@@ -71,6 +71,41 @@ def test_train_step_data_parallel(setup):
                                atol=1e-6)
 
 
+def test_train_step_pallas_matches_dense(setup):
+    """Training with use_pallas=True runs through the kernels' custom VJPs
+    (interpret on CPU) and reproduces the dense step's loss and gradients.
+    (Post-optimizer params are NOT compared: Adam amplifies f32 sign noise
+    on near-zero gradients to O(lr).)"""
+    model, batch, state, tx = setup
+    cfg = dict(model.config)
+    cfg['use_pallas'] = True
+    model_p = DecompDiffModel.create(cfg, num_classes=8)
+    step_p = make_train_step(model_p, tx, TRAIN_CFG)
+    key = jax.random.PRNGKey(3)
+    sd, md = make_train_step(model, tx, TRAIN_CFG)(state, batch, key)
+    sp, mp = step_p(state, batch, key)
+    np.testing.assert_allclose(float(mp['loss']), float(md['loss']),
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(mp['grad_norm']),
+                               float(md['grad_norm']), rtol=1e-3)
+
+    w = TRAIN_CFG['loss_weights']
+
+    def grads(m):
+        def f(params, key):
+            out = m.get_diffusion_loss(params, key, batch)
+            ls = out['losses']
+            return sum(w[k] * ls[k] for k in ls)
+        return jax.grad(f)(state.params, key)
+
+    gd = grads(model)
+    gp = grads(model_p)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gp)):
+        scale = max(1.0, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=1e-4 * scale)
+
+
 def test_eval_step(setup):
     model, batch, state, _ = setup
     eval_step = make_eval_step(model, TRAIN_CFG)
