@@ -224,14 +224,14 @@ class NodeEdgeAttention(nn.Module):
         if self.use_pallas:
             from decompdiff_tpu.ops.pallas.edge_kernel import (
                 edge_attention_pallas)
-            # src coords ride the wide feature gather as extra lanes
-            hjx = gather_nodes(_pack_hx(h, ed.x4, self.gather_bf16),
-                               ed.nbr_idx)
+            # src rows are gathered in-kernel from the packed [h | x]
+            # node table (VMEM-resident per batch element)
+            hx = _pack_hx(h, ed.x4, self.gather_bf16)
             out = edge_attention_pallas(
                 ed.x4, ed.mld, ed.idx_flat, ed.gsrc_flat,
                 ew.astype(jnp.float32),
                 ed.nbr_mask.astype(jnp.float32),
-                hjx,
+                hx,
                 (ti_k + pk.be).astype(jnp.float32),
                 (ti_v + pv.be).astype(jnp.float32),
                 q.astype(jnp.float32),
@@ -485,13 +485,12 @@ class PosEdgeAttention(nn.Module):
         if self.use_pallas:
             from decompdiff_tpu.ops.pallas.edge_kernel import (
                 edge_attention_pallas)
-            hjx = gather_nodes(_pack_hx(h, ed.x4, self.gather_bf16),
-                               ed.nbr_idx)
+            hx = _pack_hx(h, ed.x4, self.gather_bf16)
             dx = edge_attention_pallas(
                 ed.x4, ed.mld, ed.idx_flat, ed.gsrc_flat,
                 ew.astype(jnp.float32),
                 ed.nbr_mask.astype(jnp.float32),
-                hjx,
+                hx,
                 (ti_k + pk.be).astype(jnp.float32),
                 (ti_v + pv.be).astype(jnp.float32),
                 q.astype(jnp.float32),

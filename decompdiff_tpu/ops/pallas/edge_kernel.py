@@ -50,29 +50,81 @@ from decompdiff_tpu.models.common import FIXED_RBF_OFFSETS
 EDGE_FEAT_PAD = 128  # 4*21 = 84 (or 6*21 = 126) rows used, zero-padded
 
 
-def _edge_kernel(xd_ref, mld_ref, idx_ref, gsrc_ref, ew_ref, mask_ref,
-                 offs_ref, hjx_ref, tik_ref, tiv_ref, q_ref, hh_ref,
+def _gather_cols(tabT, idxT_ref, TK):
+    """In-VMEM column gather: tabT [F, Npad], idxT_ref [1, 1, TK] int32 ref
+    -> hjT [F, TK] with hjT[:, e] = tabT[:, idxT[0, 0, e]].
+
+    Mosaic's tpu.dynamic_gather (reached through take_along_axis) is
+    dimension-preserving and limited to one source vreg along the gather
+    dimension — at most 128 lanes. So the table keeps nodes on LANES
+    (features on sublanes), sources are scanned in 128-lane chunks with a
+    range-select combine, and edges are produced in 128-lane chunks. Each
+    edge chunk's indices are loaded STRAIGHT FROM THE REF and broadcast
+    across sublanes — value-level slice-then-broadcast gets canonicalized
+    into a replicated-layout broadcast Mosaic rejects ("Invalid input
+    layout"). All loops are static; out-of-chunk lanes read a clamped index
+    and are masked off, so no index may exceed Npad-1.
+    """
+    F, Npad = tabT.shape
+    n_src = Npad // 128
+    outs = []
+    for e in range(-(-TK // 128)):
+        w = min(128, TK - e * 128)
+        idx_row = idxT_ref[0, 0:1, e * 128:e * 128 + w]       # [1, w]
+        if w < 128:
+            idx_row = jnp.concatenate(
+                [idx_row, jnp.zeros((1, 128 - w), idx_row.dtype)], axis=1)
+        idx_e = jnp.broadcast_to(idx_row, (F, 128))
+        acc = jnp.zeros((F, 128), tabT.dtype)
+        for c in range(n_src):
+            local = idx_e - c * 128
+            inb = jnp.logical_and(local >= 0, local < 128)
+            safe = jnp.clip(local, 0, 127)
+            g = jnp.take_along_axis(tabT[:, c * 128:(c + 1) * 128], safe,
+                                    axis=1, mode='promise_in_bounds')
+            acc = jnp.where(inb, g, acc)
+        outs.append(acc)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return out[:, :TK]
+
+
+def _split_hjT(tabT, idxT_ref, T, K, gather_bf16, H):
+    """Gather src columns and split into the h block (feature-major, stays
+    transposed for the MXU) and the src coords (edge-major [T, K, 4]).
+    tabT's feature dim is padded to a 16-multiple; the pad rows are
+    gathered and ignored."""
+    TK = T * K
+    hjT = _gather_cols(tabT, idxT_ref, TK)          # [Hxp, TK]
+    if gather_bf16:
+        # bf16 table halves the resident VMEM + DMA; h loses nothing (the
+        # MXU rounds f32 operands to bf16 passes anyway) and the
+        # coordinates ride as a hi+lo split (~1e-4 absolute error)
+        xsT = (hjT[H:H + 4].astype(jnp.float32)
+               + hjT[H + 4:H + 8].astype(jnp.float32))   # [4, TK]
+    else:
+        xsT = hjT[H:H + 4].astype(jnp.float32)
+    hjT_h = hjT[:H].astype(jnp.float32)             # [H, TK]
+    xs = jnp.swapaxes(xsT, 0, 1).reshape(T, K, 4)
+    return hjT_h, xs
+
+
+def _edge_kernel(xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref, ew_ref,
+                 mask_ref,
+                 offs_ref, tab_ref, tik_ref, tiv_ref, q_ref, hh_ref,
                  wek_ref, wjk_ref, wok_ref, bok_ref, lnsk_ref, lnbk_ref,
                  wev_ref, wjv_ref, wov_ref, bov_ref, lnsv_ref, lnbv_ref,
                  out_ref, *, n_heads: int, pos_mode: bool, num_protein: int,
                  n_etypes: int, gather_bf16: bool):
-    # xd [1,T,4]; mld [1,T,2]; idx/gsrc [1,T*K,1]; ew/mask [1,T,K];
-    # hjx [1,T,K,H+4] f32, or [1,T,K,H+8] bf16 with hi/lo-split coords
+    # xd [1,T,4]; mld [1,T,2]; idx/gsrc [1,T*K,1]; idxT [1,1,TKpad];
+    # ew/mask [1,T,K]; tab [1,Hx,Npad]: the TRANSPOSED packed [h | x] node
+    # table (f32 Hx=H+4, bf16 Hx=H+8 hi/lo-split coords), VMEM-resident per
+    # batch element — src columns are gathered in-kernel with
+    # tpu.dynamic_gather, so no [B,N,K,H+4] array ever touches HBM
     xd = xd_ref[0]                                  # [T, 4]
-    hjx = hjx_ref[0]
-    T, K, Hx = hjx.shape
-    if gather_bf16:
-        # bf16 rows halve the kernel's dominant HBM read; h loses nothing
-        # (the MXU rounds f32 operands to bf16 passes anyway) and the
-        # coordinates ride as a hi+lo split (~1e-4 absolute error)
-        H = Hx - 8
-        hj = hjx[..., :H].astype(jnp.float32).reshape(T * K, H)
-        xs = (hjx[..., H:H + 4].astype(jnp.float32)
-              + hjx[..., H + 4:].astype(jnp.float32))   # [T, K, 4]
-    else:
-        H = Hx - 4
-        hj = hjx[..., :H].reshape(T * K, H)         # gathered raw h_src
-        xs = hjx[..., H:]                           # [T, K, 4] src coords
+    T = xd.shape[0]
+    K = ew_ref.shape[-1]
+    H = wjk_ref.shape[0]
+    hjT_h, xs = _split_hjT(tab_ref[0], idxT_ref, T, K, gather_bf16, H)
     hd = H // n_heads
 
     rel = xd[:, None, :] - xs                       # [T, K, 4] (4th comp 0)
@@ -108,11 +160,13 @@ def _edge_kernel(xd_ref, mld_ref, idx_ref, gsrc_ref, ew_ref, mask_ref,
     z = jnp.concatenate([a * rbf1 for a in attrs], axis=1)
 
     def branch(we_ref, wj_ref, wo_ref, bo_ref, lns_ref, lnb_ref, ti_ref):
-        # j-projection applied in-kernel: one raw-h gather feeds both nets
+        # j-projection applied in-kernel; hjT stays feature-major — the MXU
+        # contracts its sublane dim directly, no transpose materialized
         pre = jnp.dot(z, we_ref[:n_etypes * (21), :],
                       preferred_element_type=jnp.float32)
-        pre = pre + jnp.dot(hj, wj_ref[:],
-                            preferred_element_type=jnp.float32)
+        pre = pre + jax.lax.dot_general(
+            hjT_h, wj_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         pre = pre.reshape(T, K, H)
         pre = pre + ti_ref[0][:, None, :]
         mean = pre.mean(-1, keepdims=True)
@@ -162,8 +216,9 @@ def _edge_kernel(xd_ref, mld_ref, idx_ref, gsrc_ref, ew_ref, mask_ref,
 # Parameter cotangents accumulate across the sequential grid.
 # --------------------------------------------------------------------------
 
-def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, gsrc_ref, ew_ref,
-                     mask_ref, offs_ref, hjx_ref, tik_ref, tiv_ref, q_ref,
+def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref,
+                     ew_ref,
+                     mask_ref, offs_ref, tab_ref, tik_ref, tiv_ref, q_ref,
                      hh_ref,
                      wek_ref, wjk_ref, wok_ref, bok_ref, lnsk_ref, lnbk_ref,
                      wev_ref, wjv_ref, wov_ref, bov_ref, lnsv_ref, lnbv_ref,
@@ -178,17 +233,14 @@ def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, gsrc_ref, ew_ref,
     b = pl.program_id(0)
     t = pl.program_id(1)
     xd = xd_ref[0]
-    hjx = hjx_ref[0]
-    T, K, Hx = hjx.shape
-    if gather_bf16:
-        H = Hx - 8
-        hj = hjx[..., :H].astype(jnp.float32).reshape(T * K, H)
-        xs = (hjx[..., H:H + 4].astype(jnp.float32)
-              + hjx[..., H + 4:].astype(jnp.float32))
-    else:
-        H = Hx - 4
-        hj = hjx[..., :H].reshape(T * K, H)
-        xs = hjx[..., H:]
+    T = xd.shape[0]
+    K = ew_ref.shape[-1]
+    # replay the in-kernel column gather; per-edge cotangents go out as
+    # d_hjx rows and are scatter-added back to the node table by XLA (no
+    # Mosaic scatter exists)
+    H = wjk_ref.shape[0]
+    hjT_h, xs = _split_hjT(tab_ref[0], idxT_ref, T, K, gather_bf16, H)
+    Hx = H + (8 if gather_bf16 else 4)
     hd = H // n_heads
     TK = T * K
     R1 = offs_ref.shape[-1] + 1                       # rbf lanes + const-1
@@ -218,8 +270,9 @@ def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, gsrc_ref, ew_ref,
     def recompute(we_ref, wj_ref, wo_ref, bo_ref, lns_ref, lnb_ref, ti_ref):
         pre = jnp.dot(z, we_ref[:n_etypes * 21, :],
                       preferred_element_type=jnp.float32)
-        pre = pre + jnp.dot(hj, wj_ref[:],
-                            preferred_element_type=jnp.float32)
+        pre = pre + jax.lax.dot_general(
+            hjT_h, wj_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         pre = pre.reshape(T, K, H)
         pre = pre + ti_ref[0][:, None, :]
         mean = pre.mean(-1, keepdims=True)
@@ -320,7 +373,7 @@ def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, gsrc_ref, ew_ref,
             d_pre2, we_ref[:nF, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [TK, F*R1]
         d_wj_ref[...] += jax.lax.dot_general(
-            hj, d_pre2, (((0,), (0,)), ((), ())),
+            hjT_h, d_pre2, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         d_hj = jax.lax.dot_general(
             d_pre2, wj_ref[:], (((1,), (1,)), ((), ())),
@@ -375,19 +428,27 @@ def _edge_specs(B, N, K, Hx, H, tile, pos_mode):
     def bt4(b, t):
         return (b, t, 0, 0)
 
+    def b_only3(b, t):
+        return (b, 0, 0)
+
     def w_spec(shape):
         return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    Npad = -(-N // 128) * 128
+    Hxp = -(-Hx // 16) * 16
     in_specs = [
         pl.BlockSpec((1, tile, 4), bt3, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile, 2), bt3, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile * K, 1), bt3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tile * K), lambda b, t: (b, 0, t),
+                     memory_space=pltpu.VMEM),        # idxT (lane-major)
         pl.BlockSpec((1, tile * K, 1), bt3, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile, K), bt3, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile, K), bt3, memory_space=pltpu.VMEM),
         w_spec((1, len(FIXED_RBF_OFFSETS))),
-        pl.BlockSpec((1, tile, K, Hx), bt4, memory_space=pltpu.VMEM),
+        # transposed node table: resident across a batch element's tiles
+        pl.BlockSpec((1, Hxp, Npad), b_only3, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
@@ -401,10 +462,13 @@ def _edge_specs(B, N, K, Hx, H, tile, pos_mode):
 
 
 def _edge_fwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
-                   gather_bf16, xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask,
-                   offsets, hjx, ti_k, ti_v, q, hh, *params):
-    B, N, K, Hx = hjx.shape
-    H = Hx - (8 if gather_bf16 else 4)
+                   gather_bf16, xd4, mld, idx_flat, idxT, gsrc_flat, e_w,
+                   nbr_mask, offsets, hxT, ti_k, ti_v, q, hh, *params):
+    B = xd4.shape[0]
+    N = xd4.shape[1]
+    K = e_w.shape[-1]
+    H = q.shape[-1]
+    Hx = H + (8 if gather_bf16 else 4)
     in_specs, bt3, _, _, out_dim = _edge_specs(B, N, K, Hx, H, tile, pos_mode)
     return pl.pallas_call(
         partial(_edge_kernel, n_heads=n_heads, pos_mode=pos_mode,
@@ -418,22 +482,25 @@ def _edge_fwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == 'cpu',
-    )(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask, offsets, hjx,
+    )(xd4, mld, idx_flat, idxT, gsrc_flat, e_w, nbr_mask, offsets, hxT,
       ti_k, ti_v, q, hh, *params)
 
 
 def _edge_bwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
-                   gather_bf16, g, xd4, mld, idx_flat, gsrc_flat, e_w,
-                   nbr_mask, offsets, hjx, ti_k, ti_v, q, hh, *params):
-    B, N, K, Hx = hjx.shape
-    H = Hx - (8 if gather_bf16 else 4)
+                   gather_bf16, g, xd4, mld, idx_flat, idxT, gsrc_flat, e_w,
+                   nbr_mask, offsets, hxT, ti_k, ti_v, q, hh, *params):
+    B = xd4.shape[0]
+    N = xd4.shape[1]
+    K = e_w.shape[-1]
+    H = q.shape[-1]
+    Hx = H + (8 if gather_bf16 else 4)
     in_specs, bt3, bt4, w_spec, out_dim = _edge_specs(B, N, K, Hx, H, tile,
                                                       pos_mode)
     f32 = jnp.float32
     out_shapes = (
         jax.ShapeDtypeStruct((B, N, 4), f32),          # d_xd4
         jax.ShapeDtypeStruct((B, N, K), f32),          # d_ew
-        jax.ShapeDtypeStruct((B, N, K, Hx), hjx.dtype),  # d_hjx
+        jax.ShapeDtypeStruct((B, N, K, Hx), hxT.dtype),  # per-edge d_hjx rows
         jax.ShapeDtypeStruct((B, N, H), f32),          # d_ti_k
         jax.ShapeDtypeStruct((B, N, H), f32),          # d_ti_v
         jax.ShapeDtypeStruct((B, N, H), f32),          # d_q
@@ -474,17 +541,18 @@ def _edge_bwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == 'cpu',
-    )(g, xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask, offsets, hjx,
+    )(g, xd4, mld, idx_flat, idxT, gsrc_flat, e_w, nbr_mask, offsets, hxT,
       ti_k, ti_v, q, hh, *params)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _edge_core(n_heads, pos_mode, num_protein, n_etypes, tile, gather_bf16,
-               xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask, offsets, hjx,
-               ti_k, ti_v, q, hh, *params):
+               xd4, mld, idx_flat, idxT, gsrc_flat, e_w, nbr_mask, offsets,
+               hxT, ti_k, ti_v, q, hh, *params):
     return _edge_fwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
-                          gather_bf16, xd4, mld, idx_flat, gsrc_flat, e_w,
-                          nbr_mask, offsets, hjx, ti_k, ti_v, q, hh, *params)
+                          gather_bf16, xd4, mld, idx_flat, idxT, gsrc_flat,
+                          e_w, nbr_mask, offsets, hxT, ti_k, ti_v, q, hh,
+                          *params)
 
 
 def _edge_core_fwd(n_heads, pos_mode, num_protein, n_etypes, tile,
@@ -496,17 +564,29 @@ def _edge_core_fwd(n_heads, pos_mode, num_protein, n_etypes, tile,
 
 def _edge_core_bwd(n_heads, pos_mode, num_protein, n_etypes, tile,
                    gather_bf16, res, g):
-    (xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask, offsets, hjx,
-     ti_k, ti_v, q, hh) = res[:12]
-    params = res[12:]
+    (xd4, mld, idx_flat, idxT, gsrc_flat, e_w, nbr_mask, offsets, hxT,
+     ti_k, ti_v, q, hh) = res[:13]
+    params = res[13:]
     outs = _edge_bwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
                           gather_bf16, g, *res)
     d_xd4, d_ew, d_hjx, d_ti_k, d_ti_v, d_q = outs[:6]
+    # scatter the per-edge rows back onto the node table (XLA scatter-add;
+    # Mosaic has no scatter), then match the transposed/padded table layout.
+    # Accumulate in f32 even for a bf16 table.
+    B, Hxp, Npad = hxT.shape
+    N = xd4.shape[1]
+    Hx = d_hjx.shape[-1]
+    rows = d_hjx.reshape(B, -1, Hx).astype(jnp.float32)
+    d_hx = jnp.zeros((B, N, Hx), jnp.float32).at[
+        jnp.arange(B)[:, None], idx_flat[..., 0]].add(rows)
+    d_hxT = jnp.zeros((B, Hxp, Npad), jnp.float32).at[:, :Hx, :N].set(
+        jnp.swapaxes(d_hx, 1, 2)).astype(hxT.dtype)
     # integer primals take float0 cotangents
     d_idx = np.zeros(idx_flat.shape, jax.dtypes.float0)
-    return ((d_xd4, jnp.zeros_like(mld), d_idx,
+    d_idxT = np.zeros(idxT.shape, jax.dtypes.float0)
+    return ((d_xd4, jnp.zeros_like(mld), d_idx, d_idxT,
              jnp.zeros_like(gsrc_flat), d_ew, jnp.zeros_like(nbr_mask),
-             jnp.zeros_like(offsets), d_hjx, d_ti_k, d_ti_v, d_q,
+             jnp.zeros_like(offsets), d_hxT, d_ti_k, d_ti_v, d_q,
              jnp.zeros_like(hh)) + tuple(outs[6:]))
 
 
@@ -516,7 +596,7 @@ _edge_core.defvjp(_edge_core_fwd, _edge_core_bwd)
 @partial(jax.jit, static_argnames=('n_heads', 'pos_mode', 'num_protein',
                                    'n_etypes', 'tile'))
 def edge_attention_pallas(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask,
-                          hjx, ti_k, ti_v, q,
+                          hx, ti_k, ti_v, q,
                           we_k, wj_k, wo_k, bo_k, lns_k, lnb_k,
                           we_v, wj_v, wo_v, bo_v, lns_v, lnb_v,
                           *, n_heads: int, pos_mode: bool, num_protein: int,
@@ -528,8 +608,11 @@ def edge_attention_pallas(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask,
         gsrc_flat:[B, N*K, 1] gathered src group ids (zeros when n_etypes=4)
         e_w:     [B, N, K] global edge weights (1.0 when disabled)
         nbr_mask:[B, N, K] valid-edge floats
-        hjx:     [B, N, K, H+4] gathered [h_src | x_src] rows — the single
-                 wide per-stream gather; j-projections run in-kernel via wj_*
+        hx:      [B, N, H+4] packed [h | x] node table (bf16: [B, N, H+8]
+                 with hi/lo-split coords) — src rows are gathered IN-KERNEL
+                 from the VMEM-resident table (tpu.dynamic_gather), so no
+                 [B, N, K, H+4] array ever round-trips HBM; j-projections
+                 also run in-kernel via wj_*
         ti_*:    [B, N, H] dst projections (include first-linear bias here)
         q:       [B, N, H] query projections
         we_*:    [128, H] edge-feature projection in [rbf | 1]-per-type row
@@ -541,8 +624,9 @@ def edge_attention_pallas(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask,
     Differentiable via a fused recompute-in-VMEM backward kernel; the d_hjx
     cotangent scatters back to nodes through the gather's own VJP.
     """
-    B, N, K, Hx = hjx.shape
-    gather_bf16 = hjx.dtype == jnp.bfloat16
+    B, N, Hx = hx.shape
+    K = e_w.shape[-1]
+    gather_bf16 = hx.dtype == jnp.bfloat16
     H = Hx - (8 if gather_bf16 else 4)
     assert n_etypes * 21 <= EDGE_FEAT_PAD, n_etypes
     offsets = jnp.asarray(np.asarray(FIXED_RBF_OFFSETS, np.float32))[None, :]
@@ -556,8 +640,17 @@ def edge_attention_pallas(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask,
     head_id = jnp.arange(H) // hd
     hh = (head_id[:, None] == head_id[None, :]).astype(jnp.float32)  # [H, H]
 
+    # transposed, padded node table (features to a 16-multiple of sublanes,
+    # nodes to a 128-multiple of lanes) + lane-major indices for the
+    # in-kernel column gather (see _gather_cols)
+    Npad = -(-N // 128) * 128
+    Hxp = -(-Hx // 16) * 16
+    hxT = jnp.zeros((B, Hxp, Npad), hx.dtype).at[:, :Hx, :N].set(
+        jnp.swapaxes(hx, 1, 2))
+    idxT = idx_flat.reshape(B, 1, N * K)
+
     return _edge_core(n_heads, pos_mode, num_protein, n_etypes, tile,
-                      gather_bf16, xd4, mld, idx_flat, gsrc_flat, e_w,
-                      nbr_mask, offsets, hjx, ti_k, ti_v, q, hh,
+                      gather_bf16, xd4, mld, idx_flat, idxT, gsrc_flat, e_w,
+                      nbr_mask, offsets, hxT, ti_k, ti_v, q, hh,
                       we_k, wj_k, wo_k, bo_k, lns_k, lnb_k,
                       we_v, wj_v, wo_v, bo_v, lns_v, lnb_v)
