@@ -14,15 +14,19 @@ ref models/encoders/uni_transformer_edge.py:16-74,170-210):
     node mode: out[dst] = sum_k alpha * v                           [N, H]
     pos mode:  dx[dst]  = sum_k (mean_h alpha*v) * rel_x            [N, 4]
 
-HBM-traffic design (the per-step profile showed TPU gathers cost per *row*,
-not per byte: a [N*K, 3] coordinate gather is ~1.4x the cost of a [N*K, 128]
-feature gather): the src coordinates ride the one wide per-layer feature
-gather as 4 extra lanes (hjx = [h_src | x_src]), so the only HBM gather per
-stream is that single [N*K, H+4] row gather. Neighbor distances, RBF
-features, the 4/6-way edge typing (from the static [protein | ligand] context
-layout: src is ligand iff nbr_idx >= num_protein — identical post-masking to
-the reference's gathered is-ligand flags) and every per-edge intermediate
-(84->128 features, pre, LN, relu, k, v, logits) live in VMEM only.
+HBM-traffic design: NO per-edge array ever touches HBM. The packed
+[h | x] node table rides in transposed form [H+4, N] (nodes on lanes) and
+stays VMEM-resident across a batch element's tiles; src columns are
+gathered IN-KERNEL with tpu.dynamic_gather (see _gather_cols for the
+128-lane chunking its single-source-vreg limit forces), replacing the
+round-1 design's [B, N*K, H+4] HBM row gather + masking pass (~96 MB and
+~0.64 ms per stream-layer at bench shapes). Gathered features stay
+feature-major — the MXU contracts their sublane dim directly. Neighbor
+distances, RBF features, the 4/6-way edge typing (from the static
+[protein | ligand] context layout: src is ligand iff nbr_idx >=
+num_protein — identical post-masking to the reference's gathered
+is-ligand flags) and every per-edge intermediate (84->128 features, pre,
+LN, relu, k, v, logits) live in VMEM only.
 
 MXU scheduling: the factorized edge-feature first linear runs as ONE
 [T*K, F*21] @ [F*21, H] matmul — the outer-product structure is realized by
@@ -626,8 +630,14 @@ def edge_attention_pallas(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask,
     """
     B, N, Hx = hx.shape
     K = e_w.shape[-1]
-    gather_bf16 = hx.dtype == jnp.bfloat16
-    H = Hx - (8 if gather_bf16 else 4)
+    H = q.shape[-1]
+    gather_bf16 = Hx == H + 8
+    if hx.dtype == jnp.bfloat16:
+        # tpu.dynamic_gather wants index/data bitwidths to match, and
+        # take_along_axis always re-promotes indices to int32 — so a bf16
+        # table cannot be gathered on this Mosaic. Keep the hi/lo packed
+        # layout (identical math) but gather from an f32 copy.
+        hx = hx.astype(jnp.float32)
     assert n_etypes * 21 <= EDGE_FEAT_PAD, n_etypes
     offsets = jnp.asarray(np.asarray(FIXED_RBF_OFFSETS, np.float32))[None, :]
     if N % tile != 0:
