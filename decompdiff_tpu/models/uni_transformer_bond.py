@@ -686,6 +686,23 @@ class UniTransformerBond(nn.Module):
         if self.remat:
             layer_cls = nn.remat(AttentionLayerBond)
 
+        # Pallas path: pad the context to a 64-multiple so the edge kernels
+        # run at tile=64 — measured faster end-to-end than tile=32 even
+        # with the extra masked nodes (the pad nodes are never selected by
+        # kNN and their outputs are sliced away below)
+        N0 = h.shape[1]
+        pad_n = (-N0) % 64 if (self.use_pallas and N0 >= 64) else 0
+        if pad_n:
+            def _pad(a, value=0):
+                widths = [(0, 0), (0, pad_n)] + [(0, 0)] * (a.ndim - 2)
+                return jnp.pad(a, widths, constant_values=value)
+
+            h, x = _pad(h), _pad(x)
+            mask_all, mask_ligand = _pad(mask_all), _pad(mask_ligand)
+            movable_mask = _pad(movable_mask)
+            if group_idx is not None:
+                group_idx = _pad(group_idx, value=-1)
+
         n_etypes = 4 if group_idx is None else 6
         layers = [layer_cls(
             self.hidden_dim, self.n_heads, self.edge_feat_dim,
@@ -769,4 +786,6 @@ class UniTransformerBond(nn.Module):
                     h, x, ed, h_bond, bond_mask,
                     movable_mask, num_protein, e_w)
 
+        if pad_n:
+            h, x = h[:, :N0], x[:, :N0]
         return {'x': x, 'h': h, 'h_bond': h_bond}

@@ -641,9 +641,17 @@ def edge_attention_pallas(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask,
     assert n_etypes * 21 <= EDGE_FEAT_PAD, n_etypes
     offsets = jnp.asarray(np.asarray(FIXED_RBF_OFFSETS, np.float32))[None, :]
     if N % tile != 0:
-        tile = min(tile, N)
-        while N % tile != 0:
-            tile //= 2
+        # largest multiple-of-8 divisor of N <= tile (Mosaic block sublane
+        # dims must divide by 8); fall back to halving for tiny N
+        t = min(tile, N) // 8 * 8
+        while t >= 8 and N % t != 0:
+            t -= 8
+        if t >= 8:
+            tile = t
+        else:
+            tile = min(tile, N)
+            while N % tile != 0:
+                tile //= 2
     assert N % tile == 0, (N, tile)
 
     hd = H // n_heads

@@ -155,3 +155,37 @@ def test_full_net_pallas_matches_dense(group):
         np.testing.assert_allclose(
             np.asarray(o2[key]), np.asarray(o1[key]), rtol=2e-3, atol=2e-4,
             err_msg=key)
+
+
+def test_full_net_pallas_pad_to_64_matches_dense():
+    """N >= 64 triggers the Pallas path's context padding to a 64-multiple
+    (larger edge-kernel tiles); outputs must still match the dense path at
+    the original N exactly."""
+    rng = np.random.default_rng(13)
+    B, Np, Nl, H, K = 2, 70, 6, 32, 4
+    N = Np + Nl                                # 76 -> padded to 128
+    h = jnp.asarray(rng.normal(size=(B, N, H)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B, N, 3)) * 3, jnp.float32)
+    h_bond = jnp.asarray(rng.normal(size=(B, Nl, Nl, H)), jnp.float32)
+    mask = np.ones((B, N), bool)
+    mask[0, Np + 4:] = False
+    mask = jnp.asarray(mask)
+    mask_ligand = (jnp.arange(N)[None, :] >= Np) & mask
+    movable = mask_ligand
+    bond_mask = jnp.asarray(rng.random((B, Nl, Nl)) < 0.5) & (
+        ~jnp.eye(Nl, dtype=bool)[None])
+
+    def net(use_pallas):
+        return UniTransformerBond(
+            num_blocks=1, num_layers=1, hidden_dim=H, n_heads=4, k=K,
+            use_pallas=use_pallas)
+
+    args = (h, x, h_bond, mask, mask_ligand, movable, bond_mask)
+    params = net(False).init(jax.random.PRNGKey(0), *args, num_protein=Np)
+    o1 = net(False).apply(params, *args, num_protein=Np)
+    o2 = net(True).apply(params, *args, num_protein=Np)
+    assert o2['x'].shape == o1['x'].shape
+    for key in ('x', 'h', 'h_bond'):
+        np.testing.assert_allclose(
+            np.asarray(o2[key]), np.asarray(o1[key]), rtol=2e-3, atol=2e-4,
+            err_msg=key)
