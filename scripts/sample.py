@@ -39,6 +39,11 @@ def main():
     parser.add_argument('--save_traj', action='store_true')
     parser.add_argument('--use_pallas', action='store_true',
                         help='enable the fused TPU kernels for sampling')
+    parser.add_argument('--no_pallas', action='store_true',
+                        help='force the dense XLA path even when the '
+                             'checkpoint-embedded model config enables the '
+                             'fused kernels (use on CPU: interpret-mode '
+                             'Pallas is slow)')
     parser.add_argument('--protein_path', default=None,
                         help='path to the ORIGINAL full-protein PDB used for '
                              'clash guidance (the pocket store is a crop; '
@@ -85,6 +90,8 @@ def main():
     model_cfg = train_config.model.to_dict()
     if args.use_pallas:
         model_cfg['use_pallas'] = True
+    if args.no_pallas:
+        model_cfg['use_pallas'] = False
     model = DecompDiffModel.create(model_cfg, num_classes)
     params = jax.tree.map(jnp.asarray, ckpt['params'])
 
