@@ -56,6 +56,9 @@ def test_training_from_scratch_reaches_quality(tmp_path):
     cfg = yaml.safe_load(
         open(os.path.join(REPO, 'benchmarks/configs/train_synth256.yml')))
     cfg['data']['path'] = store
+    # this test runs on the CPU mesh; interpret-mode Pallas training would
+    # take hours (kernel parity is covered by tests/test_pallas_*_grad.py)
+    cfg['model']['use_pallas'] = False
     cfg_path = str(tmp_path / 'train.yml')
     yaml.safe_dump(cfg, open(cfg_path, 'w'))
     out = str(tmp_path / 'logs')
