@@ -206,6 +206,7 @@ class DecompDenoiser(nn.Module):
                 sync_twoup=cfg.get('sync_twoup', False),
                 cutoff_mode=cfg.get('cutoff_mode', 'knn'),
                 r_max=cfg.get('r_max', 10.0),
+                use_pallas=cfg.get('use_pallas', False),
                 name='refine_net')
             outputs = refine(h_all, pos_all, mask_all, mask_ligand, movable,
                              num_protein=Np)
