@@ -79,8 +79,13 @@ def _gather_cols(tabT, idxT_ref, TK):
             idx_row = jnp.concatenate(
                 [idx_row, jnp.zeros((1, 128 - w), idx_row.dtype)], axis=1)
         idx_e = jnp.broadcast_to(idx_row, (F, 128))
-        acc = jnp.zeros((F, 128), tabT.dtype)
-        for c in range(n_src):
+        # every index lands in exactly one source chunk: seed the
+        # accumulator with chunk 0's clamped gather (correct wherever
+        # idx < 128, overwritten otherwise) — saves one select per chunk
+        acc = jnp.take_along_axis(tabT[:, :128],
+                                  jnp.clip(idx_e, 0, 127), axis=1,
+                                  mode='promise_in_bounds')
+        for c in range(1, n_src):
             local = idx_e - c * 128
             inb = jnp.logical_and(local >= 0, local < 128)
             safe = jnp.clip(local, 0, 127)
