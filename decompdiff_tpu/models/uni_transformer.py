@@ -21,6 +21,13 @@ routes x2h through edge_attention_pallas node mode and h2x through pos mode
 (in-kernel geometry/typing/gathers; custom-VJP backward — trainable).
 ew_net_type 'm' (gate from the per-edge v) would need the gate inside the
 kernel and falls back to the dense path.
+
+NOTE (round-2 refactor): the factorized-kv layout requires the reference's
+4-dim edge-type feature (edge_feat_dim == 4, the released-config value);
+edge_feat_dim == 0 is rejected rather than silently growing features. The
+refactor also replaced the kv-MLP submodules with raw hk_*/hv_*/xk_*/xv_*
+kernels, so uni_o2 param trees saved before round 2 do not load (the
+checkpoint converter only maps uni_o2_bond and is unaffected).
 """
 
 from __future__ import annotations
@@ -348,6 +355,9 @@ class UniTransformerO2(nn.Module):
     @nn.compact
     def __call__(self, h, x, mask_all, mask_ligand, movable_mask,
                  fix_x=False, num_protein=None):
+        assert self.edge_feat_dim == 4, (
+            'the factorized kv layout bakes in the 4-dim edge-type block '
+            '(released config value); see module docstring')
         use_pallas = self.use_pallas
         if use_pallas:
             assert num_protein is not None, \
@@ -356,6 +366,21 @@ class UniTransformerO2(nn.Module):
                 'hybrid cutoff runs the dense path only'
             assert self.ew_net_type != 'm', \
                 "ew_net_type 'm' runs the dense path only"
+
+        # Pallas path: pad the context to a 64-multiple so the edge kernels
+        # run at tile=64 (Mosaic block sublane dims must divide by 8 — odd N
+        # would otherwise degrade the tile fallback to 1-2); same scheme as
+        # UniTransformerBond.__call__, pad nodes masked out and sliced below
+        N0 = h.shape[1]
+        pad_n = (-N0) % 64 if (use_pallas and N0 >= 64) else 0
+        if pad_n:
+            def _pad(a, value=0):
+                widths = [(0, 0), (0, pad_n)] + [(0, 0)] * (a.ndim - 2)
+                return jnp.pad(a, widths, constant_values=value)
+
+            h, x = _pad(h), _pad(x)
+            mask_all, mask_ligand = _pad(mask_all), _pad(mask_ligand)
+            movable_mask = _pad(movable_mask)
 
         layers = [AttentionLayerO2(
             self.hidden_dim, self.n_heads, self.edge_feat_dim,
@@ -369,9 +394,9 @@ class UniTransformerO2(nn.Module):
                 # ref batch_hybrid_edge_connection (models/common.py:250-277)
                 assert num_protein is not None
                 from decompdiff_tpu.ops.knn import hybrid_neighbors
-                nbr_idx, nbr_mask = hybrid_neighbors(
-                    x, mask_all, mask_ligand, self.k, num_protein)
-                nbr_d2 = None
+                nbr_idx, nbr_mask, nbr_d2 = hybrid_neighbors(
+                    x, mask_all, mask_ligand, self.k, num_protein,
+                    return_d2=True)
             else:
                 nbr_idx, nbr_mask, nbr_d2 = knn_neighbors(
                     x, mask_all, self.k, return_d2=True)
@@ -403,4 +428,6 @@ class UniTransformerO2(nn.Module):
                              e_w=e_w, nbr_d2=nbr_d2, mld=mld,
                              lig_src=lig_src, fix_x=fix_x)
 
+        if pad_n:
+            h, x = h[:, :N0], x[:, :N0]
         return {'x': x, 'h': h}

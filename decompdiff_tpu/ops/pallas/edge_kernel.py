@@ -422,8 +422,11 @@ def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref,
     d_xs = -d_rel
     d_hj3 = d_hj.reshape(T, K, H)
     if gather_bf16:
+        # the hi/lo-packed layout keeps the table f32 at gather time (see
+        # edge_attention_pallas), so store in the out ref's dtype — an
+        # unconditional bf16 cast here mismatched the f32 out_shape
         d_hjx = jnp.concatenate([d_hj3, d_xs, d_xs], axis=-1)
-        d_hjx_ref[0] = d_hjx.astype(jnp.bfloat16)
+        d_hjx_ref[0] = d_hjx.astype(d_hjx_ref.dtype)
     else:
         d_hjx_ref[0] = jnp.concatenate([d_hj3, d_xs], axis=-1)
 

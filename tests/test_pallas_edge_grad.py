@@ -89,6 +89,39 @@ def test_pos_edge_grads_match_dense():
         _assert_tree_close(b, a, label)
 
 
+def test_node_edge_grads_gather_bf16():
+    """Regression (ADVICE r2): with gather_bf16 the node table is packed
+    [h | x_hi | x_lo] in bf16 but re-expanded to f32 before the in-kernel
+    gather, so d_hjx's out ref is f32 — the backward kernel used to cast
+    the store to bf16 unconditionally, crashing with a swap-dtype error."""
+    h, x, nbr_idx, nbr_mask, mask_ligand, group_idx, e_w, Np = _setup()
+    rng = np.random.default_rng(9)
+    cot = jnp.asarray(rng.normal(size=(2, 16, 32)), jnp.float32)
+    dense = NodeEdgeAttention(32, 4, use_pallas=False, num_protein=Np)
+    fused = NodeEdgeAttention(32, 4, use_pallas=True, num_protein=Np,
+                              gather_bf16=True)
+    ed_d = _edge_data(x, nbr_idx, nbr_mask, mask_ligand, group_idx, False)
+    params = dense.init(jax.random.PRNGKey(0), h, ed_d, e_w)
+    gd = _grad_fn(dense, False, nbr_idx, nbr_mask, mask_ligand, group_idx,
+                  e_w, cot)(params, h, x)
+    gf = _grad_fn(fused, True, nbr_idx, nbr_mask, mask_ligand, group_idx,
+                  e_w, cot)(params, h, x)
+    # the table's h block is bf16-rounded (dense path stays f32): isolated
+    # relu-gate flips make elementwise comparison flaky, so guard structure
+    # with a per-leaf relative-L2 criterion instead
+    for label, a, b in zip(('params', 'h', 'x'), gd, gf):
+        for xa, xb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            xa = np.asarray(xa, np.float64)
+            xb = np.asarray(xb, np.float64)
+            # floor the denominator: near-zero true grads (e.g. the k-branch
+            # out bias, which cancels in the softmax) carry no signal
+            denom = max(np.linalg.norm(xa), 1e-3)
+            rel = np.linalg.norm(xb - xa) / denom
+            assert np.isfinite(xb).all(), f'non-finite grads: {label}'
+            assert rel < 5e-2, \
+                f'bf16-gather cotangent rel-L2 {rel:.3g}: {label}'
+
+
 def test_grads_flow_through_ew():
     h, x, nbr_idx, nbr_mask, mask_ligand, group_idx, e_w, Np = _setup()
     dense = NodeEdgeAttention(32, 4, use_pallas=False, num_protein=Np)

@@ -74,6 +74,24 @@ def test_uni_o2_pallas_multi_iteration():
             err_msg=key)
 
 
+def test_uni_o2_pallas_pads_odd_context():
+    """Real pocket sizes are rarely 8-divisible: N=70 must route through the
+    pad-to-64 scheme (-> 128 padded nodes) instead of degrading the kernel
+    tile fallback to 1-2 sublanes (ADVICE r2)."""
+    h, x, mask, mask_ligand, movable, Np = _setup(B=1, Np=60, Nl=10, seed=5)
+    dense = _net(False)
+    fused = _net(True)
+    args = (h, x, mask, mask_ligand, movable)
+    params = dense.init(jax.random.PRNGKey(0), *args, num_protein=Np)
+    o1 = dense.apply(params, *args, num_protein=Np)
+    o2 = fused.apply(params, *args, num_protein=Np)
+    assert o2['h'].shape == h.shape and o2['x'].shape == x.shape
+    for key in ('x', 'h'):
+        np.testing.assert_allclose(
+            np.asarray(o2[key]), np.asarray(o1[key]), rtol=2e-3, atol=2e-4,
+            err_msg=key)
+
+
 def test_uni_o2_pallas_grads_match_dense():
     h, x, mask, mask_ligand, movable, Np = _setup(seed=7)
     rng = np.random.default_rng(9)
