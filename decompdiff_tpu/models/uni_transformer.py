@@ -19,8 +19,9 @@ verbatim by the dense XLA path and the fused Pallas path: the per-edge math
 is IDENTICAL to the bond variant's kNN edge streams, so `use_pallas=True`
 routes x2h through edge_attention_pallas node mode and h2x through pos mode
 (in-kernel geometry/typing/gathers; custom-VJP backward — trainable).
-ew_net_type 'm' (gate from the per-edge v) would need the gate inside the
-kernel and falls back to the dense path.
+ew_net_type 'm' (gate from the per-edge v) runs in-kernel too: the kernel
+computes sigmoid(v @ wm + bm) from the raw v before the e_w multiply, so
+all four ew modes are fused.
 
 NOTE (round-2 refactor): the factorized-kv layout requires the reference's
 4-dim edge-type feature (edge_feat_dim == 4, the released-config value);
@@ -115,12 +116,19 @@ class X2HAttention(nn.Module):
         ti_k = h @ pk.wi.astype(h.dtype)
         ti_v = h @ pv.wi.astype(h.dtype)
 
+        if self.ew_net_type == 'm':
+            # gate from the per-edge v: sigmoid(v @ wm + bm)
+            # (ref uni_transformer.py:62-70,87-88); raw params shared by the
+            # dense path and the in-kernel gate
+            wm = self.param('ew_kernel', nn.initializers.lecun_normal(),
+                            (H, 1))
+            bm = self.param('ew_bias', nn.initializers.zeros, (1,))
+
         if self.use_pallas:
             from decompdiff_tpu.ops.pallas.edge_kernel import (
                 edge_attention_pallas)
             x4, idx_flat, mld, nbr_d2, lig_src = ed
-            assert self.ew_net_type != 'm', \
-                "ew_net_type 'm' gates on the in-kernel v; dense path only"
+            mkw = {}
             if self.ew_net_type == 'r':
                 ew = _ew_r_from_d2(self, 'hk', nbr_d2, lig_src,
                                    mld[..., 0:1] > 0.5)[..., 0]
@@ -128,6 +136,8 @@ class X2HAttention(nn.Module):
                 ew = e_w[..., 0] if e_w.ndim == 4 else e_w
             else:
                 ew = jnp.ones_like(nbr_mask, dtype=jnp.float32)
+                if self.ew_net_type == 'm':
+                    mkw = dict(wm=wm, bm=bm)
             hx = _pack_hx_o2(h, x4)
             out = edge_attention_pallas(
                 x4, mld, idx_flat, jnp.zeros_like(idx_flat, jnp.float32),
@@ -145,7 +155,7 @@ class X2HAttention(nn.Module):
                 pv.lns[None].astype(jnp.float32),
                 pv.lnb[None].astype(jnp.float32),
                 n_heads=self.n_heads, pos_mode=False,
-                num_protein=self.num_protein)
+                num_protein=self.num_protein, **mkw)
             out = out.astype(h.dtype)
         else:
             edge_type, dist, hj = ed
@@ -160,7 +170,7 @@ class X2HAttention(nn.Module):
                 b = self.param('hk_ew_bias', nn.initializers.zeros, (1,))
                 e_w = jax.nn.sigmoid(r_feat @ w.astype(r_feat.dtype) + b)
             elif self.ew_net_type == 'm':
-                e_w = jax.nn.sigmoid(nn.Dense(1, name='ew')(v))
+                e_w = jax.nn.sigmoid(v @ wm.astype(v.dtype) + bm)
             elif e_w is None:
                 e_w = 1.0
             v = _heads(v * e_w, self.n_heads)
@@ -364,8 +374,6 @@ class UniTransformerO2(nn.Module):
                 'the Pallas path derives edge typing from the static layout'
             assert self.cutoff_mode != 'hybrid', \
                 'hybrid cutoff runs the dense path only'
-            assert self.ew_net_type != 'm', \
-                "ew_net_type 'm' runs the dense path only"
 
         # Pallas path: pad the context to a 64-multiple so the edge kernels
         # run at tile=64 (Mosaic block sublane dims must divide by 8 — odd N

@@ -122,8 +122,12 @@ def _edge_kernel(xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref, ew_ref,
                  offs_ref, tab_ref, tik_ref, tiv_ref, q_ref, hh_ref,
                  wek_ref, wjk_ref, wok_ref, bok_ref, lnsk_ref, lnbk_ref,
                  wev_ref, wjv_ref, wov_ref, bov_ref, lnsv_ref, lnbv_ref,
-                 out_ref, *, n_heads: int, pos_mode: bool, num_protein: int,
-                 n_etypes: int, gather_bf16: bool):
+                 *rest, n_heads: int, pos_mode: bool, num_protein: int,
+                 n_etypes: int, gather_bf16: bool, m_gate: bool):
+    if m_gate:
+        wm_ref, bm_ref, out_ref = rest
+    else:
+        out_ref, = rest
     # xd [1,T,4]; mld [1,T,2]; idx/gsrc [1,T*K,1]; idxT [1,1,TKpad];
     # ew/mask [1,T,K]; tab [1,Hx,Npad]: the TRANSPOSED packed [h | x] node
     # table (f32 Hx=H+4, bf16 Hx=H+8 hi/lo-split coords), VMEM-resident per
@@ -190,6 +194,12 @@ def _edge_kernel(xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref, ew_ref,
                  tik_ref)
     v_t = branch(wev_ref, wjv_ref, wov_ref, bov_ref, lnsv_ref, lnbv_ref,
                  tiv_ref)
+    if m_gate:
+        # ew_net_type='m': per-edge gate sigmoid(v . wm + bm) from the raw v
+        # (ref uni_transformer.py:62-70,87-88); host passes e_w = ones
+        s = (v_t * wm_ref[0][None, None, :]).sum(-1, keepdims=True) \
+            + bm_ref[0, 0]
+        v_t = v_t * jax.nn.sigmoid(s)
     v_t = v_t * ew_ref[0][..., None]
 
     # head-grouped logits, summed and lane-replicated in one HH matmul
@@ -231,14 +241,19 @@ def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref,
                      hh_ref,
                      wek_ref, wjk_ref, wok_ref, bok_ref, lnsk_ref, lnbk_ref,
                      wev_ref, wjv_ref, wov_ref, bov_ref, lnsv_ref, lnbv_ref,
-                     d_xd_ref, d_ew_ref, d_hjx_ref, d_tik_ref, d_tiv_ref,
-                     d_q_ref,
-                     d_wek_ref, d_wjk_ref, d_wok_ref, d_bok_ref, d_lnsk_ref,
-                     d_lnbk_ref,
-                     d_wev_ref, d_wjv_ref, d_wov_ref, d_bov_ref, d_lnsv_ref,
-                     d_lnbv_ref,
-                     *, n_heads: int, pos_mode: bool, num_protein: int,
-                     n_etypes: int, gather_bf16: bool):
+                     *rest, n_heads: int, pos_mode: bool, num_protein: int,
+                     n_etypes: int, gather_bf16: bool, m_gate: bool):
+    if m_gate:
+        (wm_ref, bm_ref,
+         d_xd_ref, d_ew_ref, d_hjx_ref, d_tik_ref, d_tiv_ref, d_q_ref,
+         d_wek_ref, d_wjk_ref, d_wok_ref, d_bok_ref, d_lnsk_ref, d_lnbk_ref,
+         d_wev_ref, d_wjv_ref, d_wov_ref, d_bov_ref, d_lnsv_ref, d_lnbv_ref,
+         d_wm_ref, d_bm_ref) = rest
+    else:
+        (d_xd_ref, d_ew_ref, d_hjx_ref, d_tik_ref, d_tiv_ref, d_q_ref,
+         d_wek_ref, d_wjk_ref, d_wok_ref, d_bok_ref, d_lnsk_ref, d_lnbk_ref,
+         d_wev_ref, d_wjv_ref, d_wov_ref, d_bov_ref, d_lnsv_ref,
+         d_lnbv_ref) = rest
     b = pl.program_id(0)
     t = pl.program_id(1)
     xd = xd_ref[0]
@@ -298,7 +313,14 @@ def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref,
     xhat_v, rstd_v, y_v, v_raw = recompute(wev_ref, wjv_ref, wov_ref, bov_ref,
                                            lnsv_ref, lnbv_ref, tiv_ref)
     ew = ew_ref[0]
-    v_t = v_raw * ew[..., None]
+    if m_gate:
+        s = (v_raw * wm_ref[0][None, None, :]).sum(-1, keepdims=True) \
+            + bm_ref[0, 0]
+        gate = jax.nn.sigmoid(s)
+        v_g = v_raw * gate
+    else:
+        v_g = v_raw
+    v_t = v_g * ew[..., None]
 
     q = q_ref[0]
     qk = q[:, None, :] * k_t
@@ -334,10 +356,25 @@ def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref,
     d_q_ref[0] = (d_qk * k_t).sum(axis=1)
     d_kt = d_qk * q[:, None, :]
 
-    d_ew_ref[0] = (d_vt * v_raw).sum(-1)
-    d_vraw = d_vt * ew[..., None]
-
+    d_ew_ref[0] = (d_vt * v_g).sum(-1)
+    d_vg = d_vt * ew[..., None]
     first = jnp.logical_and(b == 0, t == 0)
+    if m_gate:
+        # v_g = v_raw * sigmoid(s), s = v_raw . wm + bm
+        d_gate = (d_vg * v_raw).sum(-1, keepdims=True)
+        d_s = d_gate * gate * (1.0 - gate)                     # [T, K, 1]
+        d_vraw = d_vg * gate + d_s * wm_ref[0][None, None, :]
+
+        @pl.when(first)
+        def _():
+            d_wm_ref[...] = jnp.zeros_like(d_wm_ref)
+            d_bm_ref[...] = jnp.zeros_like(d_bm_ref)
+
+        d_wm_ref[...] += (d_s * v_raw).reshape(TK, H).sum(axis=0,
+                                                          keepdims=True)
+        d_bm_ref[...] += d_s.reshape(TK, 1).sum(axis=0, keepdims=True)
+    else:
+        d_vraw = d_vg
 
     def branch_bwd(d_o, xhat, rstd, y, we_ref, wj_ref, wo_ref, lns_ref,
                    d_ti_ref, d_we_ref, d_wj_ref, d_wo_ref, d_bo_ref,
@@ -474,18 +511,21 @@ def _edge_specs(B, N, K, Hx, H, tile, pos_mode):
 
 
 def _edge_fwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
-                   gather_bf16, xd4, mld, idx_flat, idxT, gsrc_flat, e_w,
-                   nbr_mask, offsets, hxT, ti_k, ti_v, q, hh, *params):
+                   gather_bf16, m_gate, xd4, mld, idx_flat, idxT, gsrc_flat,
+                   e_w, nbr_mask, offsets, hxT, ti_k, ti_v, q, hh, *params):
     B = xd4.shape[0]
     N = xd4.shape[1]
     K = e_w.shape[-1]
     H = q.shape[-1]
     Hx = H + (8 if gather_bf16 else 4)
-    in_specs, bt3, _, _, out_dim = _edge_specs(B, N, K, Hx, H, tile, pos_mode)
+    in_specs, bt3, _, w_spec, out_dim = _edge_specs(B, N, K, Hx, H, tile,
+                                                    pos_mode)
+    if m_gate:
+        in_specs = in_specs + [w_spec((1, H)), w_spec((1, 1))]
     return pl.pallas_call(
         partial(_edge_kernel, n_heads=n_heads, pos_mode=pos_mode,
                 num_protein=num_protein, n_etypes=n_etypes,
-                gather_bf16=gather_bf16),
+                gather_bf16=gather_bf16, m_gate=m_gate),
         grid=(B, N // tile),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile, out_dim), bt3,
@@ -499,8 +539,9 @@ def _edge_fwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
 
 
 def _edge_bwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
-                   gather_bf16, g, xd4, mld, idx_flat, idxT, gsrc_flat, e_w,
-                   nbr_mask, offsets, hxT, ti_k, ti_v, q, hh, *params):
+                   gather_bf16, m_gate, g, xd4, mld, idx_flat, idxT,
+                   gsrc_flat, e_w, nbr_mask, offsets, hxT, ti_k, ti_v, q, hh,
+                   *params):
     B = xd4.shape[0]
     N = xd4.shape[1]
     K = e_w.shape[-1]
@@ -508,6 +549,8 @@ def _edge_bwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
     Hx = H + (8 if gather_bf16 else 4)
     in_specs, bt3, bt4, w_spec, out_dim = _edge_specs(B, N, K, Hx, H, tile,
                                                       pos_mode)
+    if m_gate:
+        in_specs = in_specs + [w_spec((1, H)), w_spec((1, 1))]
     f32 = jnp.float32
     out_shapes = (
         jax.ShapeDtypeStruct((B, N, 4), f32),          # d_xd4
@@ -541,11 +584,15 @@ def _edge_bwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
         w_spec((EDGE_FEAT_PAD, H)), w_spec((H, H)), w_spec((H, H)),
         w_spec((1, H)), w_spec((1, H)), w_spec((1, H)),
     )
+    if m_gate:
+        out_shapes = out_shapes + (jax.ShapeDtypeStruct((1, H), f32),
+                                   jax.ShapeDtypeStruct((1, 1), f32))
+        out_specs = out_specs + (w_spec((1, H)), w_spec((1, 1)))
     g_spec = pl.BlockSpec((1, tile, out_dim), bt3, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_edge_bwd_kernel, n_heads=n_heads, pos_mode=pos_mode,
                 num_protein=num_protein, n_etypes=n_etypes,
-                gather_bf16=gather_bf16),
+                gather_bf16=gather_bf16, m_gate=m_gate),
         grid=(B, N // tile),
         in_specs=[g_spec] + in_specs,
         out_specs=out_specs,
@@ -557,30 +604,30 @@ def _edge_bwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
       ti_k, ti_v, q, hh, *params)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _edge_core(n_heads, pos_mode, num_protein, n_etypes, tile, gather_bf16,
-               xd4, mld, idx_flat, idxT, gsrc_flat, e_w, nbr_mask, offsets,
-               hxT, ti_k, ti_v, q, hh, *params):
+               m_gate, xd4, mld, idx_flat, idxT, gsrc_flat, e_w, nbr_mask,
+               offsets, hxT, ti_k, ti_v, q, hh, *params):
     return _edge_fwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
-                          gather_bf16, xd4, mld, idx_flat, idxT, gsrc_flat,
-                          e_w, nbr_mask, offsets, hxT, ti_k, ti_v, q, hh,
-                          *params)
+                          gather_bf16, m_gate, xd4, mld, idx_flat, idxT,
+                          gsrc_flat, e_w, nbr_mask, offsets, hxT, ti_k, ti_v,
+                          q, hh, *params)
 
 
 def _edge_core_fwd(n_heads, pos_mode, num_protein, n_etypes, tile,
-                   gather_bf16, *args):
+                   gather_bf16, m_gate, *args):
     out = _edge_core(n_heads, pos_mode, num_protein, n_etypes, tile,
-                     gather_bf16, *args)
+                     gather_bf16, m_gate, *args)
     return out, args
 
 
 def _edge_core_bwd(n_heads, pos_mode, num_protein, n_etypes, tile,
-                   gather_bf16, res, g):
+                   gather_bf16, m_gate, res, g):
     (xd4, mld, idx_flat, idxT, gsrc_flat, e_w, nbr_mask, offsets, hxT,
      ti_k, ti_v, q, hh) = res[:13]
     params = res[13:]
     outs = _edge_bwd_call(n_heads, pos_mode, num_protein, n_etypes, tile,
-                          gather_bf16, g, *res)
+                          gather_bf16, m_gate, g, *res)
     d_xd4, d_ew, d_hjx, d_ti_k, d_ti_v, d_q = outs[:6]
     # scatter the per-edge rows back onto the node table (XLA scatter-add;
     # Mosaic has no scatter), then match the transposed/padded table layout.
@@ -611,6 +658,7 @@ def edge_attention_pallas(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask,
                           hx, ti_k, ti_v, q,
                           we_k, wj_k, wo_k, bo_k, lns_k, lnb_k,
                           we_v, wj_v, wo_v, bo_v, lns_v, lnb_v,
+                          wm=None, bm=None,
                           *, n_heads: int, pos_mode: bool, num_protein: int,
                           n_etypes: int = 4, tile: int = 64):
     """Args (all float32 unless noted):
@@ -675,8 +723,17 @@ def edge_attention_pallas(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask,
         jnp.swapaxes(hx, 1, 2))
     idxT = idx_flat.reshape(B, 1, N * K)
 
+    m_gate = wm is not None
+    if m_gate:
+        # ew_net_type='m' (node mode only; 'm' is identity for h2x, ref
+        # uni_transformer.py:89): the gate runs in-kernel from the raw v
+        assert not pos_mode, "ew_net_type 'm' gates node mode only"
+        extra = (wm.reshape(1, -1).astype(jnp.float32),
+                 jnp.reshape(bm, (1, 1)).astype(jnp.float32))
+    else:
+        extra = ()
     return _edge_core(n_heads, pos_mode, num_protein, n_etypes, tile,
-                      gather_bf16, xd4, mld, idx_flat, idxT, gsrc_flat, e_w,
-                      nbr_mask, offsets, hxT, ti_k, ti_v, q, hh,
-                      we_k, wj_k, wo_k, bo_k, lns_k, lnb_k,
-                      we_v, wj_v, wo_v, bo_v, lns_v, lnb_v)
+                      gather_bf16, m_gate, xd4, mld, idx_flat, idxT,
+                      gsrc_flat, e_w, nbr_mask, offsets, hxT, ti_k, ti_v, q,
+                      hh, we_k, wj_k, wo_k, bo_k, lns_k, lnb_k,
+                      we_v, wj_v, wo_v, bo_v, lns_v, lnb_v, *extra)

@@ -35,7 +35,7 @@ def _net(use_pallas, ew='global', **kw):
                             use_pallas=use_pallas, **kw)
 
 
-@pytest.mark.parametrize('ew', ['global', 'r', 'none'])
+@pytest.mark.parametrize('ew', ['global', 'r', 'none', 'm'])
 def test_uni_o2_pallas_matches_dense(ew):
     h, x, mask, mask_ligand, movable, Np = _setup()
     dense = _net(False, ew)
@@ -92,13 +92,14 @@ def test_uni_o2_pallas_pads_odd_context():
             err_msg=key)
 
 
-def test_uni_o2_pallas_grads_match_dense():
+@pytest.mark.parametrize('ew', ['r', 'm'])
+def test_uni_o2_pallas_grads_match_dense(ew):
     h, x, mask, mask_ligand, movable, Np = _setup(seed=7)
     rng = np.random.default_rng(9)
     cot_h = jnp.asarray(rng.normal(size=h.shape), jnp.float32)
     cot_x = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
-    dense = _net(False, 'r')
-    fused = _net(True, 'r')
+    dense = _net(False, ew)
+    fused = _net(True, ew)
     args = (h, x, mask, mask_ligand, movable)
     params = dense.init(jax.random.PRNGKey(0), *args, num_protein=Np)
 
