@@ -167,6 +167,9 @@ def _record_from_reference_dict(d: dict) -> dict:
         if k in d:
             rec[k] = [tuple(_to_np(x) if hasattr(x, 'numpy') else x
                             for x in entry) for entry in d[k]]
+    if 'pocket_prior_masks' in d:
+        rec['pocket_prior_masks'] = np.asarray(
+            _to_np(d['pocket_prior_masks']), bool)
     if 'arms_prior' not in rec:
         arms, sca, masks = compute_golden_prior(
             rec['ligand_pos'], rec['ligand_atom_mask'], rec['protein_pos'],
@@ -207,13 +210,22 @@ class DecompDataset:
             random_rot=self.random_rot)
 
     def split_by_names(self, split: Dict[str, List[str]]) -> Dict[str, List[int]]:
-        """name -> indices split (ref :33-41: names matched minus extension)."""
+        """name -> indices split (ref get_decomp_dataset :33-41 +
+        _precompute_name2id :99-110): reference name2id keys are
+        src_ligand_filename[:-4] and map to LISTS of ids (CrossDocked repeats
+        ligand filenames across poses), and split entries are
+        (protein_fn, ligand_fn) tuples matched on ligand_fn[:-4]. Store keys
+        are matched both exactly and with a 4-char dot-extension stripped."""
+        name2ids: Dict[str, List[int]] = {}
+        for i, k in enumerate(self.store.keys):
+            name2ids.setdefault(k, []).append(i)
+            if len(k) > 4 and k[-4] == '.':
+                name2ids.setdefault(k[:-4], []).append(i)
         out = {}
         for part, names in split.items():
-            ids = []
+            ids: List[int] = []
             for n in names:
                 key = n[1][:-4] if isinstance(n, (tuple, list)) else n
-                if key in self.store.key_to_id:
-                    ids.append(self.store.key_to_id[key])
+                ids.extend(name2ids.get(key, []))
             out[part] = ids
         return out
