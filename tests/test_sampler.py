@@ -191,3 +191,53 @@ def test_center_prox_energy_matches_loop():
     got = float(center_prox_energy(jnp.asarray(x), jnp.asarray(c),
                                    jnp.asarray(mask)))
     np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_sampler_data_parallel_matches_unsharded():
+    """Sampling is the embarrassingly-parallel axis of the whole >=5x v5e-8
+    scaling claim (ref scripts/sample_diffusion_decomp.py:314-360 batches
+    complexes independently): a batch sharded over the 8-device dp mesh must
+    reproduce the unsharded run per complex, guidance included (same evidence
+    grade as the training DP test in test_train_step.py)."""
+    from decompdiff_tpu.parallel.mesh import make_mesh, shard_batch
+
+    assert jax.device_count() >= 8
+    cfg_m = tiny_model_config(num_diffusion_timesteps=20)
+    model = DecompDiffModel.create(cfg_m, num_classes=8)
+    rng = np.random.default_rng(13)
+    batch = random_complex_batch(rng, batch_size=8, num_protein=20,
+                                 num_ligand=6)
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    Nf = 30
+    fp = FullProtein(
+        pos=jnp.asarray(rng.normal(size=(8, Nf, 3)) * 5, jnp.float32),
+        mask=jnp.ones((8, Nf), bool))
+    cfg = SampleConfig(
+        num_steps=10, save_traj=False,
+        energy_drift=({'type': 'armsca_prox', 'min_d': 1.2, 'max_d': 1.9},
+                      {'type': 'clash', 'sigma': 2.0, 'gamma': 4.0},
+                      {'type': 'center_prox'}))
+    init_pos, init_v, init_b = _init_state(model, batch, seed=4)
+
+    out_ref = sample_diffusion(model, cfg, params, jax.random.PRNGKey(2),
+                               batch, init_pos, init_v, init_b,
+                               full_protein=fp)
+
+    mesh = make_mesh(8)
+    sharded = shard_batch(batch, mesh)
+    sharding = jax.tree.leaves(sharded)[0].sharding
+    init_pos_s = jax.device_put(init_pos, sharding)
+    init_v_s = jax.device_put(init_v, sharding)
+    init_b_s = jax.device_put(init_b, sharding)
+    fp_s = jax.tree.map(lambda x: jax.device_put(x, sharding), fp)
+    out_dp = sample_diffusion(model, cfg, params, jax.random.PRNGKey(2),
+                              sharded, init_pos_s, init_v_s, init_b_s,
+                              full_protein=fp_s)
+
+    np.testing.assert_allclose(np.asarray(out_dp['pos']),
+                               np.asarray(out_ref['pos']),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_dp['v']),
+                                  np.asarray(out_ref['v']))
+    np.testing.assert_array_equal(np.asarray(out_dp['bond']),
+                                  np.asarray(out_ref['bond']))
