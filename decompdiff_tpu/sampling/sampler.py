@@ -101,15 +101,29 @@ def _guidance_grad(model: DecompDiffModel, cfg: SampleConfig,
     return grad
 
 
+def _gumbel_argmax(uniform, logits):
+    """The reference's explicit Gumbel-max (ref transitions.py:78-84) from an
+    injected uniform draw."""
+    g = -jnp.log(-jnp.log(uniform + 1e-30) + 1e-30)
+    return jnp.argmax(g + logits, axis=-1)
+
+
 def build_sample_step(model: DecompDiffModel, cfg: SampleConfig, params,
                       batch: ComplexBatch, offset,
-                      full_protein: Optional[FullProtein]):
+                      full_protein: Optional[FullProtein],
+                      inject: bool = False):
     """Returns step(carry, (t, rng)) for lax.scan; loop invariants are closed
-    over (XLA hoists them out of the loop body)."""
+    over (XLA hoists them out of the loop body). With inject=True the scan
+    input also carries per-step noise {'pos_eps', 'v_uniform'[, 'b_uniform']}
+    replacing the internal draws (oracle parity tests)."""
 
     def step(carry, inp):
         xt, vt, bt = carry['x'], carry['v'], carry['b']
-        t, rng = inp
+        if inject:
+            t, rng, ov = inp
+        else:
+            t, rng = inp
+            ov = None
         rng_v, rng_b, rng_x = jax.random.split(rng, 3)
         tb = jnp.full((batch.batch_size,), t, jnp.int32)
 
@@ -126,7 +140,10 @@ def build_sample_step(model: DecompDiffModel, cfg: SampleConfig, params,
         log_v_recon = jax.nn.log_softmax(preds['pred_ligand_v'], axis=-1)
         log_vt = index_to_log_onehot(vt, model.atom_diff.num_classes)
         log_v_model = model.atom_diff.q_v_posterior(log_v_recon, log_vt, tb)
-        v_next = log_sample_categorical(rng_v, log_v_model)
+        if inject:
+            v_next = _gumbel_argmax(ov['v_uniform'], log_v_model)
+        else:
+            v_next = log_sample_categorical(rng_v, log_v_model)
         upd = batch.update_mask()
         v_next = jnp.where(upd, v_next, vt)
 
@@ -135,7 +152,10 @@ def build_sample_step(model: DecompDiffModel, cfg: SampleConfig, params,
             log_b_recon = jax.nn.log_softmax(preds['pred_bond'], axis=-1)
             log_bt = index_to_log_onehot(bt, model.bond_diff.num_classes)
             log_b_model = model.bond_diff.q_v_posterior(log_b_recon, log_bt, tb)
-            b_next = log_sample_categorical(rng_b, log_b_model)
+            if inject:
+                b_next = _gumbel_argmax(ov['b_uniform'], log_b_model)
+            else:
+                b_next = log_sample_categorical(rng_b, log_b_model)
             b_next = jnp.where(batch.bond_mask, b_next, 0)
         else:
             b_next = bt
@@ -159,7 +179,10 @@ def build_sample_step(model: DecompDiffModel, cfg: SampleConfig, params,
         logvar = model.pos_diff.extract(model.pos_diff.posterior_logvar, tb,
                                         xt.ndim)
         nonzero = model.pos_diff._bcast((tb > 0).astype(xt.dtype), xt.ndim)
-        noise = jax.random.normal(rng_x, xt.shape, xt.dtype)
+        if inject:
+            noise = ov['pos_eps']
+        else:
+            noise = jax.random.normal(rng_x, xt.shape, xt.dtype)
         x_next = pos_mean + nonzero * jnp.exp(0.5 * logvar) * noise * stds
         x_next = jnp.where(upd[..., None], x_next, xt)
 
@@ -178,7 +201,7 @@ def build_sample_step(model: DecompDiffModel, cfg: SampleConfig, params,
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _sample_jit(model, cfg, params, rng, batch, init_pos, init_v, init_bond,
-                full_protein):
+                full_protein, noise_override=None):
     protein_pos_c, init_pos_c, offset = center_by_protein(batch, init_pos)
     batch_c = batch.replace(
         protein_pos=protein_pos_c,
@@ -188,9 +211,12 @@ def _sample_jit(model, cfg, params, rng, batch, init_pos, init_v, init_bond,
     time_seq = jnp.arange(T - 1, T - cfg.num_steps - 1, -1)
     rngs = jax.random.split(rng, cfg.num_steps)
 
-    step = build_sample_step(model, cfg, params, batch_c, offset, full_protein)
+    inject = noise_override is not None
+    step = build_sample_step(model, cfg, params, batch_c, offset,
+                             full_protein, inject=inject)
     carry = {'x': init_pos_c, 'v': init_v, 'b': init_bond}
-    carry, traj = jax.lax.scan(step, carry, (time_seq, rngs))
+    xs = (time_seq, rngs, noise_override) if inject else (time_seq, rngs)
+    carry, traj = jax.lax.scan(step, carry, xs)
     result = {
         'pos': carry['x'] + offset[:, None, :],
         'v': carry['v'],
@@ -203,7 +229,8 @@ def _sample_jit(model, cfg, params, rng, batch, init_pos, init_v, init_bond,
 
 def sample_diffusion(model: DecompDiffModel, cfg: SampleConfig, params, rng,
                      batch: ComplexBatch, init_pos, init_v, init_bond,
-                     full_protein: Optional[FullProtein] = None):
+                     full_protein: Optional[FullProtein] = None,
+                     noise_override=None):
     """Run the full reverse diffusion.
 
     Args:
@@ -213,6 +240,11 @@ def sample_diffusion(model: DecompDiffModel, cfg: SampleConfig, params, rng,
         init_v:    [B, Nl] initial atom types ~ terminal distribution
         init_bond: [B, Nl, Nl] initial bond types ~ terminal distribution
         full_protein: un-cropped protein for clash guidance
+        noise_override: (tests only) dict of per-step draws replacing the
+            internal randomness — 'pos_eps' [S, B, Nl, 3], 'v_uniform'
+            [S, B, Nl, K] and, with bond diffusion, 'b_uniform'
+            [S, B, Nl, Nl, Kb] — enabling exact reverse-step parity checks
+            against the numpy oracle (ref models/decompdiff.py:601-684).
 
     Returns dict: final pos/v/bond [+ 'traj' stacked over steps, newest last].
     """
@@ -222,4 +254,4 @@ def sample_diffusion(model: DecompDiffModel, cfg: SampleConfig, params, rng,
             pos=jnp.zeros((batch.batch_size, 1, 3)),
             mask=jnp.zeros((batch.batch_size, 1), bool))
     return _sample_jit(model, cfg, params, rng, batch, init_pos, init_v,
-                       init_bond, full_protein)
+                       init_bond, full_protein, noise_override)

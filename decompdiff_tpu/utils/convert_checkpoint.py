@@ -16,7 +16,10 @@ matrices are split column-wise:
   * torch Linear weights are [out, in] -> transposed; LayerNorm weight ->
     scale. Diffusion schedule buffers are skipped (recomputed from config).
 
-Only the released `uni_o2_bond` topology is mapped. Works on plain numpy
+Both refine-net topologies are mapped: `uni_o2_bond` (released) and
+`uni_o2` (ref uni_transformer.py; its factorized kv swaps the
+[edge_type | outer] column blocks into our [outer | edge_type] row order,
+see _split_o2_kv), plus the add_prior_node embedding. Works on plain numpy
 state dicts; `load_reference_checkpoint` handles torch .pt files.
 """
 
@@ -106,28 +109,103 @@ def _split_dense_bond_kv(sd, prefix, name, hidden):
     }
 
 
+def _split_o2_kv(sd, prefix, name, n_etypes, hidden):
+    """uni_o2 Base{X2H,H2X}AttLayer kv MLP -> factorized blocks. The torch
+    first linear runs over [edge_type(F) | outer(type, rbf)(F*20) | h_i | h_j]
+    (ref uni_transformer.py:53-56,121-123); our row layout is
+    [outer | edge_type] (models/uni_transformer._edge_feat_o2), so the type
+    and outer column blocks swap."""
+    w0 = np.asarray(sd[f'{prefix}.net.0.weight'], np.float32)
+    fe, rfe = n_etypes, n_etypes * 20
+    we = np.concatenate([w0[:, fe:fe + rfe], w0[:, :fe]], axis=1)
+    return {
+        f'{name}_e_kernel': we.T,
+        f'{name}_e_bias': np.asarray(sd[f'{prefix}.net.0.bias'], np.float32),
+        f'{name}_i_kernel': w0[:, fe + rfe:fe + rfe + hidden].T,
+        f'{name}_j_kernel': w0[:, fe + rfe + hidden:].T,
+        f'{name}_ln_scale': np.asarray(sd[f'{prefix}.net.1.weight'],
+                                       np.float32),
+        f'{name}_ln_bias': np.asarray(sd[f'{prefix}.net.1.bias'], np.float32),
+        f'{name}_out_kernel': _t(sd[f'{prefix}.net.3.weight']),
+        f'{name}_out_bias': np.asarray(sd[f'{prefix}.net.3.bias'],
+                                       np.float32),
+    }
+
+
+def _convert_uni_o2(sd: Dict[str, np.ndarray], config: dict) -> dict:
+    """model_type='uni_o2' refine net (ref uni_transformer.py:217-332; the
+    dead init_h_emb_layer params are skipped)."""
+    hidden = int(config['hidden_dim'])
+    ew_t = config.get('ew_net_type', 'r')
+    x2h_out_fc = bool(config.get('x2h_out_fc', True))
+    refine: dict = {}
+    if ew_t == 'global':
+        refine['edge_pred'] = _mlp(sd, 'refine_net.edge_pred_layer')
+    for l in range(int(config['num_layers'])):
+        base = f'refine_net.base_block.{l}'
+        layer: dict = {}
+        for i in range(int(config.get('num_x2h', 1))):
+            pre = f'{base}.x2h_layers.{i}'
+            x2h: dict = {}
+            x2h.update(_split_o2_kv(sd, f'{pre}.hk_func', 'hk', 4, hidden))
+            x2h.update(_split_o2_kv(sd, f'{pre}.hv_func', 'hv', 4, hidden))
+            x2h['hq'] = _mlp(sd, f'{pre}.hq_func')
+            if x2h_out_fc:
+                x2h['node_output'] = _mlp(sd, f'{pre}.node_output')
+            if ew_t == 'r':
+                x2h['hk_ew_kernel'] = _t(sd[f'{pre}.ew_net.0.weight'])
+                x2h['hk_ew_bias'] = np.asarray(sd[f'{pre}.ew_net.0.bias'],
+                                               np.float32)
+            elif ew_t == 'm':
+                x2h['ew_kernel'] = _t(sd[f'{pre}.ew_net.0.weight'])
+                x2h['ew_bias'] = np.asarray(sd[f'{pre}.ew_net.0.bias'],
+                                            np.float32)
+            layer[f'x2h_{i}'] = x2h
+        for i in range(int(config.get('num_h2x', 1))):
+            pre = f'{base}.h2x_layers.{i}'
+            h2x: dict = {}
+            h2x.update(_split_o2_kv(sd, f'{pre}.xk_func', 'xk', 4, hidden))
+            h2x.update(_split_o2_kv(sd, f'{pre}.xv_func', 'xv', 4, hidden))
+            h2x['xq'] = _mlp(sd, f'{pre}.xq_func')
+            if ew_t == 'r':
+                h2x['xk_ew_kernel'] = _t(sd[f'{pre}.ew_net.0.weight'])
+                h2x['xk_ew_bias'] = np.asarray(sd[f'{pre}.ew_net.0.bias'],
+                                               np.float32)
+            layer[f'h2x_{i}'] = h2x
+        refine[f'layer_{l}'] = layer
+    return refine
+
+
 def convert_reference_state_dict(sd: Dict[str, np.ndarray],
                                  config: dict) -> dict:
     """Reference DecompScorePosNet3D state_dict -> flax params tree
-    ({'params': ...} ready for DecompDiffModel.apply)."""
+    ({'params': ...} ready for DecompDiffModel.apply). Maps both released
+    refine nets: uni_o2_bond and uni_o2."""
     hidden = int(config['hidden_dim'])
     edge_fe = int(config.get('edge_feat_dim', 4)) * 21
     num_layers = int(config['num_layers'])
     include_h_node = bool(config.get('h_node_in_bond_net', False))
     x2h_out_fc = bool(config.get('x2h_out_fc', True))
-    assert config.get('model_type', 'uni_o2_bond') == 'uni_o2_bond', \
-        'only the released uni_o2_bond topology is mapped'
+    model_type = config.get('model_type', 'uni_o2_bond')
 
     p: dict = {
         'protein_atom_emb': _linear(sd, 'protein_atom_emb'),
         'ligand_atom_emb': _linear(sd, 'ligand_atom_emb'),
-        'ligand_bond_emb': _linear(sd, 'ligand_bond_emb'),
         'v_inf_0': _linear(sd, 'v_inference.0'),
         'v_inf_1': _linear(sd, 'v_inference.2'),
     }
+    if 'ligand_bond_emb.weight' in sd:
+        p['ligand_bond_emb'] = _linear(sd, 'ligand_bond_emb')
+    if 'prior_atom_emb.weight' in sd:
+        p['prior_atom_emb'] = _linear(sd, 'prior_atom_emb')
     if f'bond_inference.0.weight' in sd:
         p['bond_inf_0'] = _linear(sd, 'bond_inference.0')
         p['bond_inf_1'] = _linear(sd, 'bond_inference.2')
+
+    if model_type == 'uni_o2':
+        p['refine_net'] = _convert_uni_o2(sd, config)
+        return {'params': p}
+    assert model_type == 'uni_o2_bond', model_type
 
     refine: dict = {}
     if 'refine_net.edge_pred_layer.net.0.weight' in sd:

@@ -643,3 +643,387 @@ def make_reference_state_dict(rng, cfg, num_classes, num_bond_classes,
         mlp(f'{base}.pos_layer_with_bond.xv_func', 3 * H, heads)
         mlp(f'{base}.pos_layer_with_bond.xq_func', H, H)
     return sd
+
+
+# ---------------------------------------------------------------------------
+# uni_o2 refine net (ref models/encoders/uni_transformer.py:15-332)
+# ---------------------------------------------------------------------------
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def base_x2h_layer(sd, prefix, h, r_feat, edge_feat, edge_index, n_heads,
+                   ew_net_type, e_w=None, out_fc=True):
+    """ref BaseX2HAttLayer (:15-88); kv = [edge_feat?, r_feat, h_i, h_j],
+    residual inside the layer."""
+    N = h.shape[0]
+    src, dst = edge_index
+    kv_input = np.concatenate([r_feat, h[dst], h[src]], -1)
+    if edge_feat is not None:
+        kv_input = np.concatenate([edge_feat, kv_input], -1)
+    k = _mlp(sd, f'{prefix}.hk_func', kv_input)
+    v = _mlp(sd, f'{prefix}.hv_func', kv_input)
+    H = k.shape[-1]
+    if ew_net_type == 'r':
+        ew = _sigmoid(_linear(sd, f'{prefix}.ew_net.0', r_feat))
+    elif ew_net_type == 'm':
+        ew = _sigmoid(_linear(sd, f'{prefix}.ew_net.0', v[..., :H]))
+    elif e_w is not None:
+        ew = np.asarray(e_w).reshape(-1, 1)
+    else:
+        ew = 1.0
+    v = v * ew
+    hd = H // n_heads
+    k = k.reshape(-1, n_heads, hd)
+    v = v.reshape(-1, n_heads, hd)
+    q = _mlp(sd, f'{prefix}.hq_func', h).reshape(-1, n_heads, hd)
+    logits = (q[dst] * k).sum(-1) / np.sqrt(hd)
+    alpha = scatter_softmax(logits, dst, N)
+    out = scatter_sum(alpha[..., None] * v, dst, N).reshape(N, H)
+    if out_fc:
+        out = _mlp(sd, f'{prefix}.node_output', np.concatenate([out, h], -1))
+    return out + h
+
+
+def base_h2x_layer(sd, prefix, h, rel_x, r_feat, edge_feat, edge_index,
+                   n_heads, ew_net_type, e_w=None):
+    """ref BaseH2XAttLayer (:91-144); 'm' is identity here (ref :128-129)."""
+    N = h.shape[0]
+    src, dst = edge_index
+    kv_input = np.concatenate([r_feat, h[dst], h[src]], -1)
+    if edge_feat is not None:
+        kv_input = np.concatenate([edge_feat, kv_input], -1)
+    k = _mlp(sd, f'{prefix}.xk_func', kv_input)
+    v = _mlp(sd, f'{prefix}.xv_func', kv_input)   # [E, n_heads]
+    if ew_net_type == 'r':
+        ew = _sigmoid(_linear(sd, f'{prefix}.ew_net.0', r_feat))
+    elif ew_net_type == 'm':
+        ew = 1.0
+    elif e_w is not None:
+        ew = np.asarray(e_w).reshape(-1, 1)
+    else:
+        ew = 1.0
+    v = v * ew
+    v = v[..., None] * rel_x[:, None, :]
+    H = k.shape[-1]
+    hd = H // n_heads
+    k = k.reshape(-1, n_heads, hd)
+    q = _mlp(sd, f'{prefix}.xq_func', h).reshape(-1, n_heads, hd)
+    logits = (q[dst] * k).sum(-1) / np.sqrt(hd)
+    alpha = scatter_softmax(logits, dst, N)
+    out = scatter_sum(alpha[..., None] * v, dst, N)
+    return out.mean(1)
+
+
+def o2_attention_layer(sd, base, h, x, edge_attr, edge_index, mask_update,
+                       n_heads, cfg, e_w=None):
+    """ref AttentionLayerO2TwoUpdateNodeGeneral.forward (:200-213).
+    NOTE the reference gates the x update on `mask_ligand`; prior nodes can
+    never reach this net upstream (DecompScorePosNet3D passes group_idx /
+    bond_index kwargs the net does not accept, so the uni_o2 + prior-node
+    combination crashes in the reference), hence mask_update == the movable
+    ligand atoms in every reachable configuration."""
+    src, dst = edge_index
+    ew_t = cfg.get('ew_net_type', 'r')
+    edge_feat = edge_attr if cfg.get('edge_feat_dim', 4) > 0 else None
+    rel_x = x[dst] - x[src]
+    dist = np.sqrt((rel_x ** 2).sum(-1))
+    h_in = h
+    for i in range(cfg.get('num_x2h', 1)):
+        r_feat = outer_product(edge_attr, fixed_rbf(dist))
+        h_in = base_x2h_layer(sd, f'{base}.x2h_layers.{i}', h_in, r_feat,
+                              edge_feat, edge_index, n_heads, ew_t, e_w,
+                              cfg.get('x2h_out_fc', True))
+    x2h_out = h_in
+    new_h = h if cfg.get('sync_twoup', False) else x2h_out
+    for i in range(cfg.get('num_h2x', 1)):
+        r_feat = outer_product(edge_attr, fixed_rbf(dist))
+        delta_x = base_h2x_layer(sd, f'{base}.h2x_layers.{i}', new_h, rel_x,
+                                 r_feat, edge_feat, edge_index, n_heads,
+                                 ew_t, e_w)
+        x = x + delta_x * mask_update[:, None]
+        rel_x = x[dst] - x[src]
+        dist = np.sqrt((rel_x ** 2).sum(-1))
+    return x2h_out, x
+
+
+def uni_transformer_o2(sd, cfg, h, x, mask_ligand, mask_update, batch):
+    """ref UniTransformerO2TwoUpdateGeneral.forward (:319-332)."""
+    n_heads = cfg['n_heads']
+    for _ in range(cfg['num_blocks']):
+        edge_index = knn_graph(x, batch, cfg['knn'])
+        edge_type = build_edge_type(edge_index, mask_ligand)
+        src, dst = edge_index
+        if cfg.get('ew_net_type', 'r') == 'global':
+            dist = np.sqrt(((x[dst] - x[src]) ** 2).sum(-1))
+            logits = _mlp(sd, 'refine_net.edge_pred_layer', fixed_rbf(dist))
+            e_w = _sigmoid(logits)
+        else:
+            e_w = None
+        for l in range(cfg['num_layers']):
+            h, x = o2_attention_layer(
+                sd, f'refine_net.base_block.{l}', h, x, edge_type, edge_index,
+                mask_update, n_heads, cfg, e_w)
+    return {'x': x, 'h': h}
+
+
+# ---------------------------------------------------------------------------
+# prior-node composition (ref models/common.py:197-227, decompdiff.py:241-258)
+# ---------------------------------------------------------------------------
+
+def compose_context_with_prior(h_protein, h_ligand, h_prior,
+                               pos_protein, pos_ligand, pos_prior,
+                               batch_protein, batch_ligand, batch_prior,
+                               group_protein, group_ligand, group_prior):
+    batch_ctx = np.concatenate([batch_protein, batch_ligand, batch_prior])
+    sort_idx = np.argsort(batch_ctx, kind='stable')
+    n_p, n_l, n_pr = len(batch_protein), len(batch_ligand), len(batch_prior)
+    mask_ligand = np.concatenate(
+        [np.zeros(n_p, bool), np.ones(n_l + n_pr, bool)])[sort_idx]
+    mask_ligand_atom = np.concatenate(
+        [np.zeros(n_p, bool), np.ones(n_l, bool),
+         np.zeros(n_pr, bool)])[sort_idx]
+    batch_all = batch_ctx[sort_idx]
+    h_all = np.concatenate([h_protein, h_ligand, h_prior], 0)[sort_idx]
+    pos_all = np.concatenate([pos_protein, pos_ligand, pos_prior],
+                             0)[sort_idx]
+    group_all = np.concatenate([group_protein, group_ligand, group_prior],
+                               0)[sort_idx]
+    inv = np.empty_like(sort_idx)
+    inv[sort_idx] = np.arange(len(sort_idx))
+    l_index_in_ctx = inv[n_p:n_p + n_l]
+    return (h_all, pos_all, group_all, batch_all, mask_ligand,
+            mask_ligand_atom, l_index_in_ctx)
+
+
+def decomp_forward_prior(sd, cfg, num_classes, num_bond_classes,
+                         protein_pos, protein_v, batch_protein,
+                         ligand_pos, ligand_v, ligand_v_aux, batch_ligand,
+                         ligand_group_idx,
+                         prior_centers, prior_stds, batch_prior,
+                         prior_group_idx,
+                         ligand_fc_bond_index, ligand_fc_bond_type):
+    """add_prior_node topology over uni_o2_bond (ref decompdiff.py:241-316):
+    prior dummies embed linspace(0,5,20) RBFs of their std, carry a 3-way
+    indicator, count as ligand for edge typing, and never move. prior_stds
+    here are per-node scalars."""
+    assert cfg.get('add_prior_node', False)
+    v_onehot = np.eye(num_classes)[ligand_v]
+    lig_feat = np.concatenate([v_onehot, ligand_v_aux], -1)
+    h_protein = _linear(sd, 'protein_atom_emb',
+                        np.asarray(protein_v, np.float64))
+    h_ligand = _linear(sd, 'ligand_atom_emb', lig_feat)
+    prior_std_feat = linspace_rbf(np.asarray(prior_stds, np.float64), 0.0,
+                                  5.0, 20)
+    h_prior = _linear(sd, 'prior_atom_emb', prior_std_feat)
+    if cfg.get('node_indicator', True):
+        eye = np.eye(3)
+        h_protein = np.concatenate(
+            [h_protein, np.tile(eye[0], (len(h_protein), 1))], -1)
+        h_ligand = np.concatenate(
+            [h_ligand, np.tile(eye[1], (len(h_ligand), 1))], -1)
+        h_prior = np.concatenate(
+            [h_prior, np.tile(eye[2], (len(h_prior), 1))], -1)
+
+    protein_group_idx = np.full(len(h_protein), -1, np.int64)
+    (h_all, pos_all, group_all, batch_all, mask_ligand, mask_ligand_atom,
+     l_index_in_ctx) = compose_context_with_prior(
+        h_protein, h_ligand, h_prior,
+        np.asarray(protein_pos, np.float64),
+        np.asarray(ligand_pos, np.float64),
+        np.asarray(prior_centers, np.float64),
+        batch_protein, batch_ligand, batch_prior,
+        protein_group_idx, ligand_group_idx, prior_group_idx)
+    bond_index_in_all = l_index_in_ctx[ligand_fc_bond_index]
+
+    bond_onehot = np.eye(num_bond_classes)[ligand_fc_bond_type]
+    h_bond = _linear(sd, 'ligand_bond_emb', bond_onehot)
+
+    outputs = uni_transformer_bond(
+        sd, cfg, h_all, pos_all, group_all, bond_index_in_all, h_bond,
+        mask_ligand, mask_ligand_atom.astype(np.float64), batch_all)
+
+    final_pos, final_h = outputs['x'], outputs['h']
+    final_ligand_pos = final_pos[mask_ligand_atom]
+    final_ligand_h = final_h[mask_ligand_atom]
+    y = _linear(sd, 'v_inference.0', final_ligand_h)
+    final_ligand_v = _linear(sd, 'v_inference.2', shifted_softplus(y))
+    preds = {'pred_ligand_pos': final_ligand_pos,
+             'pred_ligand_v': final_ligand_v}
+    if cfg.get('bond_diffusion', False):
+        assert cfg.get('bond_net_type', 'lin') == 'lin'
+        y = _linear(sd, 'bond_inference.0', outputs['h_bond'])
+        preds['pred_bond'] = _linear(sd, 'bond_inference.2',
+                                     shifted_softplus(y))
+    return preds
+
+
+def decomp_forward_o2(sd, cfg, num_classes, num_bond_classes,
+                      protein_pos, protein_v, batch_protein,
+                      ligand_pos, ligand_v, ligand_v_aux, batch_ligand,
+                      ligand_fc_bond_index=None):
+    """model_type='uni_o2' (no bond stream; bond head only as 'pre_att')."""
+    assert not cfg.get('add_prior_node', False)
+    v_onehot = np.eye(num_classes)[ligand_v]
+    lig_feat = np.concatenate([v_onehot, ligand_v_aux], -1)
+    h_protein = _linear(sd, 'protein_atom_emb',
+                        np.asarray(protein_v, np.float64))
+    h_ligand = _linear(sd, 'ligand_atom_emb', lig_feat)
+    if cfg.get('node_indicator', True):
+        h_protein = np.concatenate(
+            [h_protein, np.zeros((len(h_protein), 1))], -1)
+        h_ligand = np.concatenate([h_ligand, np.ones((len(h_ligand), 1))], -1)
+    h_all, pos_all, batch_all, mask_ligand, l_index_in_ctx = compose_context(
+        h_protein, h_ligand, np.asarray(protein_pos, np.float64),
+        np.asarray(ligand_pos, np.float64), batch_protein, batch_ligand)
+
+    outputs = uni_transformer_o2(sd, cfg, h_all, pos_all, mask_ligand,
+                                 mask_ligand.astype(np.float64), batch_all)
+
+    final_pos, final_h = outputs['x'], outputs['h']
+    final_ligand_pos = final_pos[mask_ligand]
+    final_ligand_h = final_h[mask_ligand]
+    y = _linear(sd, 'v_inference.0', final_ligand_h)
+    final_ligand_v = _linear(sd, 'v_inference.2', shifted_softplus(y))
+    preds = {'pred_ligand_pos': final_ligand_pos,
+             'pred_ligand_v': final_ligand_v}
+    if cfg.get('bond_diffusion', False):
+        assert cfg.get('bond_net_type') == 'pre_att', \
+            "uni_o2 has no bond stream; only 'pre_att' applies"
+        src, dst = l_index_in_ctx[ligand_fc_bond_index]
+        dist = np.sqrt(((final_pos[dst] - final_pos[src]) ** 2).sum(-1))
+        r_feat = linspace_rbf(dist, 0.0, 5.0, cfg.get('num_r_gaussian', 20))
+        hi, hj = final_h[dst], final_h[src]
+        bond_inf_input = np.concatenate([r_feat, (hi + hj) / 2], -1)
+        y = _linear(sd, 'bond_inference.0', bond_inf_input)
+        preds['pred_bond'] = _linear(sd, 'bond_inference.2',
+                                     shifted_softplus(y))
+    return preds
+
+
+# ---------------------------------------------------------------------------
+# one reverse sampling step with injected noise (ref decompdiff.py:601-636,
+# 679-684)
+# ---------------------------------------------------------------------------
+
+def reverse_step(cfg, num_classes, num_bond_classes, preds,
+                 ligand_pos, ligand_v, ligand_bond,
+                 atom_prior_stds, t, batch_ligand, batch_ligand_bond,
+                 pos_eps, v_uniform, b_uniform):
+    """One ancestral update given the network predictions and FIXED draws:
+    pos_eps ~ N(0,1) [Nl,3]; v_uniform/b_uniform ~ U(0,1) (the reference's
+    explicit Gumbel construction, ref transitions.py:78-84). Positions are
+    centered coords. Returns (pos_next, v_next, bond_next)."""
+    pos_sched = PosSchedule(cfg)
+    atom_trans = DiscreteTransition(cfg['num_diffusion_timesteps'],
+                                    cfg.get('v_beta_s', 0.01), num_classes)
+    bond_trans = DiscreteTransition(cfg['num_diffusion_timesteps'],
+                                    cfg.get('v_beta_s', 0.01),
+                                    num_bond_classes)
+    assert cfg.get('model_mean_type', 'C0') == 'C0'
+    pos0 = np.asarray(preds['pred_ligand_pos'], np.float64)
+    xt = np.asarray(ligand_pos, np.float64)
+
+    c0 = pos_sched.posterior_mean_c0_coef[t][batch_ligand][:, None]
+    ct = pos_sched.posterior_mean_ct_coef[t][batch_ligand][:, None]
+    pos_model_mean = c0 * pos0 + ct * xt
+    logvar = pos_sched.posterior_logvar[t][batch_ligand][:, None]
+    nonzero = (1.0 - (t == 0).astype(np.float64))[batch_ligand][:, None]
+    pos_next = (pos_model_mean
+                + nonzero * np.exp(0.5 * logvar) * pos_eps
+                * np.asarray(atom_prior_stds, np.float64))
+
+    def gumbel_sample(log_prob, uniform):
+        g = -np.log(-np.log(uniform + 1e-30) + 1e-30)
+        return np.argmax(g + log_prob, axis=-1)
+
+    log_v_recon = log_softmax(np.asarray(preds['pred_ligand_v'], np.float64))
+    log_vt = index_to_log_onehot(ligand_v, num_classes)
+    log_v_model = atom_trans.q_v_posterior(log_v_recon, log_vt, t,
+                                           batch_ligand)
+    v_next = gumbel_sample(log_v_model, v_uniform)
+
+    bond_next = ligand_bond
+    if cfg.get('bond_diffusion', False):
+        log_b_recon = log_softmax(np.asarray(preds['pred_bond'], np.float64))
+        log_bt = index_to_log_onehot(ligand_bond, num_bond_classes)
+        log_b_model = bond_trans.q_v_posterior(log_b_recon, log_bt, t,
+                                               batch_ligand_bond)
+        bond_next = gumbel_sample(log_b_model, b_uniform)
+    return pos_next, v_next, bond_next
+
+
+# ---------------------------------------------------------------------------
+# state-dict builders for the extended topologies
+# ---------------------------------------------------------------------------
+
+def make_reference_state_dict_o2(rng, cfg, num_classes, num_bond_classes,
+                                 protein_feat_dim, ligand_feat_dim):
+    """Reference-layout state dict for model_type='uni_o2'
+    (ref uni_transformer.py module tree; the dead init_h_emb_layer params
+    are not reproduced)."""
+    H = cfg['hidden_dim']
+    heads = cfg['n_heads']
+    fe = cfg.get('edge_feat_dim', 4)
+    rfe = 4 * 20                     # outer(edge_type, fixed 20-RBF)
+    ew_t = cfg.get('ew_net_type', 'r')
+    x2h_out_fc = cfg.get('x2h_out_fc', True)
+    emb = H - 1 if cfg.get('node_indicator', True) else H
+    sd = {}
+
+    def lin(prefix, i, o):
+        sd[f'{prefix}.weight'] = rng.normal(size=(o, i)) * (1.0 / np.sqrt(i))
+        sd[f'{prefix}.bias'] = rng.normal(size=(o,)) * 0.05
+
+    def mlp(prefix, i, o):
+        lin(f'{prefix}.net.0', i, H)
+        sd[f'{prefix}.net.1.weight'] = 1.0 + rng.normal(size=(H,)) * 0.05
+        sd[f'{prefix}.net.1.bias'] = rng.normal(size=(H,)) * 0.05
+        lin(f'{prefix}.net.3', H, o)
+
+    lin('protein_atom_emb', protein_feat_dim, emb)
+    lin('ligand_atom_emb', ligand_feat_dim, emb)
+    lin('v_inference.0', H, H)
+    lin('v_inference.2', H, num_classes)
+    if cfg.get('bond_diffusion', False):
+        lin('bond_inference.0', cfg.get('num_r_gaussian', 20) + H, H)
+        lin('bond_inference.2', H, num_bond_classes)
+    if ew_t == 'global':
+        mlp('refine_net.edge_pred_layer', 20, 1)
+    kv = fe + rfe + 2 * H
+    for l in range(cfg['num_layers']):
+        base = f'refine_net.base_block.{l}'
+        for i in range(cfg.get('num_x2h', 1)):
+            p = f'{base}.x2h_layers.{i}'
+            mlp(f'{p}.hk_func', kv, H)
+            mlp(f'{p}.hv_func', kv, H)
+            mlp(f'{p}.hq_func', H, H)
+            if x2h_out_fc:
+                mlp(f'{p}.node_output', 2 * H, H)
+            if ew_t == 'r':
+                lin(f'{p}.ew_net.0', rfe, 1)
+            elif ew_t == 'm':
+                lin(f'{p}.ew_net.0', H, 1)
+        for i in range(cfg.get('num_h2x', 1)):
+            p = f'{base}.h2x_layers.{i}'
+            mlp(f'{p}.xk_func', kv, H)
+            mlp(f'{p}.xv_func', kv, heads)
+            mlp(f'{p}.xq_func', H, H)
+            if ew_t == 'r':
+                lin(f'{p}.ew_net.0', rfe, 1)
+    return sd
+
+
+def extend_state_dict_prior(sd, rng, cfg):
+    """Add the prior-node params (ref decompdiff.py:162-163) and re-shape the
+    embeddings for the 3-way indicator (emb = hidden - 3)."""
+    H = cfg['hidden_dim']
+    emb = H - 3 if cfg.get('node_indicator', True) else H
+    for key in ('protein_atom_emb', 'ligand_atom_emb'):
+        in_dim = sd[f'{key}.weight'].shape[1]
+        sd[f'{key}.weight'] = rng.normal(size=(emb, in_dim)) / np.sqrt(in_dim)
+        sd[f'{key}.bias'] = rng.normal(size=(emb,)) * 0.05
+    sd['prior_atom_emb.weight'] = rng.normal(size=(emb, 20)) / np.sqrt(20)
+    sd['prior_atom_emb.bias'] = rng.normal(size=(emb,)) * 0.05
+    return sd
