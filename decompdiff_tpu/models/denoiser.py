@@ -183,6 +183,7 @@ class DecompDenoiser(nn.Module):
                 pallas_bf16=cfg.get('pallas_bf16', False),
                 gather_bf16=cfg.get('pallas_gather_bf16', False),
                 triplet_i_block=cfg.get('pallas_triplet_i_block', 4),
+                edge_tile=cfg.get('pallas_edge_tile', 64),
                 cutoff_mode=cfg.get('cutoff_mode', 'knn'),
                 r_max=cfg.get('r_max', 10.0),
                 name='refine_net')

@@ -201,6 +201,7 @@ class NodeEdgeAttention(nn.Module):
     num_protein: int = 0
     n_etypes: int = 4
     gather_bf16: bool = False
+    edge_tile: int = 64
 
     @nn.compact
     def __call__(self, h, ed: EdgeData, e_w=None):
@@ -242,7 +243,8 @@ class NodeEdgeAttention(nn.Module):
                 wj_v.astype(jnp.float32),
                 *_pallas_prep_rest(pv),
                 n_heads=self.n_heads, pos_mode=False,
-                num_protein=self.num_protein, n_etypes=self.n_etypes)
+                num_protein=self.num_protein, n_etypes=self.n_etypes,
+                tile=self.edge_tile)
             out = out.astype(h.dtype)
         else:
             edge_feat = _build_edge_feat(ed.edge_type, ed.dist, self.dtype)
@@ -463,6 +465,7 @@ class PosEdgeAttention(nn.Module):
     num_protein: int = 0
     n_etypes: int = 4
     gather_bf16: bool = False
+    edge_tile: int = 64
 
     @nn.compact
     def __call__(self, h, ed: EdgeData, e_w=None):
@@ -508,7 +511,8 @@ class PosEdgeAttention(nn.Module):
                 pv.lns[None].astype(jnp.float32),
                 pv.lnb[None].astype(jnp.float32),
                 n_heads=self.n_heads, pos_mode=True,
-                num_protein=self.num_protein, n_etypes=self.n_etypes)
+                num_protein=self.num_protein, n_etypes=self.n_etypes,
+                tile=self.edge_tile)
             return dx[..., :3]
 
         edge_feat = _build_edge_feat(ed.edge_type, ed.dist, self.dtype)
@@ -583,6 +587,7 @@ class AttentionLayerBond(nn.Module):
     n_etypes: int = 4
     gather_bf16: bool = False
     triplet_i_block: int = 4
+    edge_tile: int = 64
 
     @nn.compact
     def __call__(self, h, x, ed, h_bond, bond_mask,
@@ -604,7 +609,7 @@ class AttentionLayerBond(nn.Module):
             self.hidden_dim, self.n_heads, out_fc=self.x2h_out_fc,
             dtype=self.dtype, use_pallas=self.use_pallas,
             num_protein=Np, n_etypes=self.n_etypes,
-            gather_bf16=self.gather_bf16,
+            gather_bf16=self.gather_bf16, edge_tile=self.edge_tile,
             name='node_layer_with_edge')(h, ed, e_w)
 
         # ligand bond streams
@@ -631,7 +636,7 @@ class AttentionLayerBond(nn.Module):
             self.hidden_dim, self.n_heads, dtype=self.dtype,
             use_pallas=self.use_pallas,
             num_protein=Np, n_etypes=self.n_etypes,
-            gather_bf16=self.gather_bf16,
+            gather_bf16=self.gather_bf16, edge_tile=self.edge_tile,
             name='pos_layer_with_edge')(new_h, ed, e_w)
         rel_bond_x = x_lig[:, :, None, :] - x_lig[:, None, :, :]
         dx_bond = PosBondAttention(
@@ -663,6 +668,7 @@ class UniTransformerBond(nn.Module):
     pallas_bf16: bool = False
     gather_bf16: bool = False  # bf16 [h | x_hi | x_lo] edge-kernel gathers
     triplet_i_block: int = 4   # destination atoms per triplet-kernel program
+    edge_tile: int = 64        # dst nodes per edge-kernel program
     cutoff_mode: str = 'knn'   # ['knn', 'radius'] — radius keeps the top-k
     r_max: float = 10.0        # degree cap and masks edges beyond r_max
 
@@ -708,7 +714,7 @@ class UniTransformerBond(nn.Module):
             self.hidden_dim, self.n_heads, self.edge_feat_dim,
             self.x2h_out_fc, self.include_h_node, self.dtype,
             self.use_pallas, self.pallas_bf16, n_etypes, self.gather_bf16,
-            self.triplet_i_block,
+            self.triplet_i_block, self.edge_tile,
             name=f'layer_{i}')
             for i in range(self.num_layers)]
 

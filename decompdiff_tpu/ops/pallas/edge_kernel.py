@@ -52,6 +52,36 @@ from jax.experimental.pallas import tpu as pltpu
 from decompdiff_tpu.models.common import FIXED_RBF_OFFSETS
 
 EDGE_FEAT_PAD = 128  # 4*21 = 84 (or 6*21 = 126) rows used, zero-padded
+_R1 = 21             # [rbf x20 | const-1] lanes per edge type
+
+
+def _z_tables(n_etypes: int) -> np.ndarray:
+    """[8, 128] lane tables for the in-kernel edge-feature build: row 0 =
+    per-lane RBF offset (FIXED_RBF_OFFSETS tiled per type block), row 1 =
+    const-1 column mask, rows 2..2+F-1 = type-block indicators. Host-built
+    (Mosaic kernels cannot capture array constants)."""
+    t = np.zeros((8, EDGE_FEAT_PAD), np.float32)
+    offs = np.asarray(FIXED_RBF_OFFSETS, np.float32)
+    for f in range(n_etypes):
+        t[0, f * _R1:f * _R1 + 20] = offs
+        t[1, f * _R1 + 20] = 1.0
+        t[2 + f, f * _R1:(f + 1) * _R1] = 1.0
+    return t
+
+
+def _build_z(dist, attrs, ztab_ref, TK):
+    """z [TK, EDGE_FEAT_PAD] = outer(edge_type, [rbf | 1]) built lane-
+    parallel in one width-128 block: the former per-type `concatenate` of
+    [TK, 21] pieces forced a lane relayout per block (same disease as the
+    triplet kernel's stacked angular code). Returns (z, dd, rbfw, attrw)
+    for the backward's distance chain."""
+    dd = dist.reshape(TK, 1) - ztab_ref[0:1]
+    cmask = ztab_ref[1:2]
+    rbfw = jnp.where(cmask > 0.5, 1.0, jnp.exp(-0.5 * dd * dd))
+    attrw = attrs[0] * ztab_ref[2:3]
+    for f in range(1, len(attrs)):
+        attrw = attrw + attrs[f] * ztab_ref[2 + f:3 + f]
+    return attrw * rbfw, dd, rbfw, attrw
 
 
 def _gather_cols(tabT, idxT_ref, TK):
@@ -119,7 +149,7 @@ def _split_hjT(tabT, idxT_ref, T, K, gather_bf16, H):
 
 def _edge_kernel(xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref, ew_ref,
                  mask_ref,
-                 offs_ref, tab_ref, tik_ref, tiv_ref, q_ref, hh_ref,
+                 ztab_ref, tab_ref, tik_ref, tiv_ref, q_ref, hh_ref,
                  wek_ref, wjk_ref, wok_ref, bok_ref, lnsk_ref, lnbk_ref,
                  wev_ref, wjv_ref, wov_ref, bov_ref, lnsv_ref, lnbv_ref,
                  *rest, n_heads: int, pos_mode: bool, num_protein: int,
@@ -144,15 +174,6 @@ def _edge_kernel(xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref, ew_ref,
     d2 = (rel * rel).sum(-1)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-24))         # [T, K]
 
-    # RBF against the 20 fixed offsets (passed as an input row vector),
-    # extended by a constant-1 column so the per-type first-linear bias rides
-    # the same matmul ([rbf | 1] rows match the We row order from
-    # _pallas_prep_we)
-    dd = dist.reshape(T * K, 1) - offs_ref[0][None, :]   # [TK, R]
-    rbf = jnp.exp(-0.5 * dd * dd)                        # [TK, R]
-    rbf1 = jnp.concatenate(
-        [rbf, jnp.ones((T * K, 1), jnp.float32)], axis=1)  # [TK, R+1]
-
     # edge typing in VMEM: src-is-ligand from the static context layout,
     # dst flags from the mld rows (mask_ligand / group id per dst node)
     idxf = idx_ref[0].astype(jnp.float32)           # [TK, 1]
@@ -168,14 +189,14 @@ def _edge_kernel(xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref, ew_ref,
         same = jnp.where(gs == gd, 1.0, 0.0)
         attrs += [1.0 - same, same]
 
-    # one [TK, F*(R+1)] block realizes the outer(edge_type, [rbf | 1])
-    # structure; a single matmul replaces F per-type dots
-    z = jnp.concatenate([a * rbf1 for a in attrs], axis=1)
+    # one [TK, 128] block realizes the outer(edge_type, [rbf | 1])
+    # structure in a single matmul against the zero-row-padded We
+    z, _, _, _ = _build_z(dist, attrs, ztab_ref, T * K)
 
     def branch(we_ref, wj_ref, wo_ref, bo_ref, lns_ref, lnb_ref, ti_ref):
         # j-projection applied in-kernel; hjT stays feature-major — the MXU
         # contracts its sublane dim directly, no transpose materialized
-        pre = jnp.dot(z, we_ref[:n_etypes * (21), :],
+        pre = jnp.dot(z, we_ref[:],
                       preferred_element_type=jnp.float32)
         pre = pre + jax.lax.dot_general(
             hjT_h, wj_ref[:], (((0,), (0,)), ((), ())),
@@ -237,7 +258,7 @@ def _edge_kernel(xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref, ew_ref,
 
 def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref,
                      ew_ref,
-                     mask_ref, offs_ref, tab_ref, tik_ref, tiv_ref, q_ref,
+                     mask_ref, ztab_ref, tab_ref, tik_ref, tiv_ref, q_ref,
                      hh_ref,
                      wek_ref, wjk_ref, wok_ref, bok_ref, lnsk_ref, lnbk_ref,
                      wev_ref, wjv_ref, wov_ref, bov_ref, lnsv_ref, lnbv_ref,
@@ -267,15 +288,11 @@ def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref,
     Hx = H + (8 if gather_bf16 else 4)
     hd = H // n_heads
     TK = T * K
-    R1 = offs_ref.shape[-1] + 1                       # rbf lanes + const-1
 
     # ---- forward replay (identical math to _edge_kernel) ----
     rel = xd[:, None, :] - xs
     d2 = (rel * rel).sum(-1)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-24))
-    dd = dist.reshape(TK, 1) - offs_ref[0][None, :]
-    rbf = jnp.exp(-0.5 * dd * dd)
-    rbf1 = jnp.concatenate([rbf, jnp.ones((TK, 1), jnp.float32)], axis=1)
 
     idxf = idx_ref[0].astype(jnp.float32)
     ls = jnp.where(idxf >= float(num_protein), 1.0, 0.0)
@@ -289,10 +306,10 @@ def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref,
             mld_ref[0][:, 1:2][:, None, :], (T, K, 1)).reshape(TK, 1)
         same = jnp.where(gs == gd, 1.0, 0.0)
         attrs += [1.0 - same, same]
-    z = jnp.concatenate([a * rbf1 for a in attrs], axis=1)   # [TK, F*R1]
+    z, dd, rbfw, attrw = _build_z(dist, attrs, ztab_ref, TK)
 
     def recompute(we_ref, wj_ref, wo_ref, bo_ref, lns_ref, lnb_ref, ti_ref):
-        pre = jnp.dot(z, we_ref[:n_etypes * 21, :],
+        pre = jnp.dot(z, we_ref[:],
                       preferred_element_type=jnp.float32)
         pre = pre + jax.lax.dot_general(
             hjT_h, wj_ref[:], (((0,), (0,)), ((), ())),
@@ -407,17 +424,12 @@ def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref,
                         - xhat * (d_xhat * xhat).mean(-1, keepdims=True))
         d_ti_ref[0] = d_pre.sum(axis=1)
         d_pre2 = d_pre.reshape(TK, H)
-        # z is zero beyond n_etypes*21 rows of We, so padding the z-transpose
-        # matmul to the full EDGE_FEAT_PAD rows adds exact zeros
-        nF = n_etypes * 21
-        zp = jnp.concatenate(
-            [z, jnp.zeros((TK, EDGE_FEAT_PAD - nF), jnp.float32)], axis=1)
         d_we_ref[...] += jax.lax.dot_general(
-            zp, d_pre2, (((0,), (0,)), ((), ())),
+            z, d_pre2, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         d_z = jax.lax.dot_general(
-            d_pre2, we_ref[:nF, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [TK, F*R1]
+            d_pre2, we_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [TK, 128]
         d_wj_ref[...] += jax.lax.dot_general(
             hjT_h, d_pre2, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -437,21 +449,13 @@ def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref,
     d_z = d_z_k + d_z_v
     d_hj = d_hj_k + d_hj_v
 
-    # d_rbf1[e, r] = sum_f attrs_f[e] * d_z[e, f*R1 + r]: fold the per-type
-    # weights in elementwise, then collapse the F blocks with one [F*R1, R1]
-    # 0/1 selection matmul (S[c, r] = 1 iff c % R1 == r)
-    attrs_exp = jnp.concatenate(
-        [jnp.broadcast_to(a, (TK, R1)) for a in attrs], axis=1)
-    c_ids = jax.lax.broadcasted_iota(jnp.int32, (n_etypes * R1, R1), 0)
-    r_ids = jax.lax.broadcasted_iota(jnp.int32, (n_etypes * R1, R1), 1)
-    sel = (c_ids % R1 == r_ids).astype(jnp.float32)
-    d_rbf1 = jnp.dot(d_z * attrs_exp, sel,
-                     preferred_element_type=jnp.float32)  # [TK, R1]
-
-    # rbf1 = [exp(-dd^2/2) | 1]; extend dd by a zero lane so the const-1
-    # column contributes exactly zero gradient
-    dd1 = jnp.concatenate([dd, jnp.zeros((TK, 1), jnp.float32)], axis=1)
-    d_dist = (d_rbf1 * (-dd1 * rbf1)).sum(-1).reshape(T, K)
+    # distance chain, lane-parallel over the full 128-wide z block: the
+    # const-1 columns and the zero pad lanes contribute exactly zero
+    # (cmask zeroes the former, attrw the latter)
+    cmask = ztab_ref[1:2]
+    d_rbfw = d_z * attrw
+    d_dd = d_rbfw * (-dd) * rbfw * (1.0 - cmask)
+    d_dist = d_dd.sum(-1).reshape(T, K)
     d_d2 = jnp.where(d2 > 1e-24, d_dist * 0.5 / dist, 0.0)
     d_rel = d_rel + 2.0 * d_d2[..., None] * rel
 
@@ -495,7 +499,7 @@ def _edge_specs(B, N, K, Hx, H, tile, pos_mode):
         pl.BlockSpec((1, tile * K, 1), bt3, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile, K), bt3, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile, K), bt3, memory_space=pltpu.VMEM),
-        w_spec((1, len(FIXED_RBF_OFFSETS))),
+        w_spec((8, EDGE_FEAT_PAD)),               # z lane tables
         # transposed node table: resident across a batch element's tiles
         pl.BlockSpec((1, Hxp, Npad), b_only3, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile, H), bt3, memory_space=pltpu.VMEM),
@@ -695,7 +699,7 @@ def edge_attention_pallas(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask,
         # layout (identical math) but gather from an f32 copy.
         hx = hx.astype(jnp.float32)
     assert n_etypes * 21 <= EDGE_FEAT_PAD, n_etypes
-    offsets = jnp.asarray(np.asarray(FIXED_RBF_OFFSETS, np.float32))[None, :]
+    offsets = jnp.asarray(_z_tables(n_etypes))
     if N % tile != 0:
         # largest multiple-of-8 divisor of N <= tile (Mosaic block sublane
         # dims must divide by 8); fall back to halving for tiny N

@@ -35,16 +35,51 @@ ANG_PAD = 16  # 13-dim angular code padded to a lane-friendly 16
 _ANG_FREQS = (1.0, 2.0, 3.0, 1.0, 0.5, 1.0 / 3.0)
 
 
-def _angular_encode_padded(x):
-    """[...,] -> [..., 16]: [x, sin(x*f), cos(x*f), 0, 0, 0] with
-    f = (1, 2, 3, 1, 1/2, 1/3) (models/common.py angular_encoding + zero pad).
-    Frequencies are python scalars so the kernel captures no array constants.
-    """
-    cols = [x]
-    cols += [jnp.sin(x * f) for f in _ANG_FREQS]
-    cols += [jnp.cos(x * f) for f in _ANG_FREQS]
-    cols += [jnp.zeros_like(x)] * 3
-    return jnp.stack(cols, axis=-1)
+def _ang_table() -> np.ndarray:
+    """[4, 16] lane tables for the in-kernel angular code: rows are
+    (frequency, x-select, sin-select, cos-select) over the 16 output lanes
+    [x | sin(x*f) x6 | cos(x*f) x6 | 0 x3]. Passed as a kernel input —
+    Mosaic kernels cannot capture array constants."""
+    t = np.zeros((4, ANG_PAD), np.float32)
+    t[0, 1:7] = _ANG_FREQS
+    t[0, 7:13] = _ANG_FREQS
+    t[1, 0] = 1.0
+    t[2, 1:7] = 1.0
+    t[3, 7:13] = 1.0
+    return t
+
+
+def _fast_sincos(arg):
+    """sin/cos for args bounded by a few pi (here [0, 3*pi]): round-to-
+    nearest-pi range reduction + degree-9/10 Taylor on [-pi/2, pi/2]
+    (|err| < 4e-6 — float32 noise level). The generic jnp.sin/cos lowering
+    with full IEEE range reduction costs ~4x more VPU ops and was ~35% of
+    this kernel's runtime (round-3 microbench)."""
+    k = jnp.floor(arg * (1.0 / np.pi) + 0.5)
+    r = arg - k * np.pi
+    odd = k - 2.0 * jnp.floor(k * 0.5)
+    sign = 1.0 - 2.0 * odd
+    r2 = r * r
+    s = r * (1.0 + r2 * (-1.0 / 6 + r2 * (1.0 / 120 + r2 * (
+        -1.0 / 5040 + r2 * (1.0 / 362880)))))
+    c = 1.0 + r2 * (-0.5 + r2 * (1.0 / 24 + r2 * (-1.0 / 720 + r2 * (
+        1.0 / 40320 + r2 * (-1.0 / 3628800)))))
+    return sign * s, sign * c
+
+
+def _angular_encode_padded(x, angf):
+    """[IB, Nj, Nk] -> [IB*Nj*Nk, 16]: [x, sin(x*f), cos(x*f), 0, 0, 0] with
+    f = (1, 2, 3, 1, 1/2, 1/3) (models/common.py angular_encoding + zero
+    pad), built lane-parallel: ONE [NN, 16] broadcast of the cubic scalar,
+    then one fast sin/cos pass selected per lane by the `angf` table rows.
+    The round-2 13-way jnp.stack forced a cubic-array relayout per column
+    and dominated the whole kernel (~half its runtime)."""
+    NN = int(np.prod(x.shape))
+    xb = jnp.broadcast_to(x[..., None], x.shape + (ANG_PAD,)).reshape(
+        NN, ANG_PAD)
+    freq, xsel, sinsel, cossel = (angf[0:1], angf[1:2], angf[2:3], angf[3:4])
+    s, c = _fast_sincos(xb * freq)
+    return xb * xsel + s * sinsel + c * cossel
 
 
 def _layer_norm(x, scale, bias, eps=1e-5):
@@ -54,7 +89,7 @@ def _layer_norm(x, scale, bias, eps=1e-5):
 
 
 def _kernel(angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
-            q_ref, mask_ref, hh_ref,
+            q_ref, mask_ref, hh_ref, angf_ref,
             wa_k_ref, wo_k_ref, bo_k_ref, lns_k_ref, lnb_k_ref,
             wa_v_ref, wo_v_ref, bo_v_ref, lns_v_ref, lnb_v_ref,
             out_ref, *, n_heads: int, bf16: bool, i_block: int):
@@ -68,8 +103,7 @@ def _kernel(angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
     hd = H // n_heads
     NN = IB * Nl * Nl
 
-    af = _angular_encode_padded(angle)                 # [IB, Nl, Nl, 16]
-    af2 = af.reshape(NN, ANG_PAD)
+    af2 = _angular_encode_padded(angle, angf_ref[:])   # [NN, 16]
 
     def branch(tkj_ref, tij_ref, wa_ref, wo_ref, bo_ref, lns_ref, lnb_ref):
         pre = jnp.dot(af2, wa_ref[:],
@@ -138,7 +172,7 @@ def _head_matrix(H: int, n_heads: int):
 
 
 def _fwd_call(n_heads, bf16, IB, angle, tkj_k, tij_k, tkj_v, tij_v, q,
-              bond_mask, hh, wa_k, wo_k, bo_k, lns_k, lnb_k,
+              bond_mask, hh, angf, wa_k, wo_k, bo_k, lns_k, lnb_k,
               wa_v, wo_v, bo_v, lns_v, lnb_v):
     B, Nl = angle.shape[0], angle.shape[1]
     H = tkj_k.shape[-1]
@@ -168,6 +202,7 @@ def _fwd_call(n_heads, bf16, IB, angle, tkj_k, tij_k, tkj_v, tij_v, q,
             pl.BlockSpec((1, Nl, Nl), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),     # bond_mask[b]
             w_spec((H, H)),                            # block-diag head matrix
+            w_spec((4, ANG_PAD)),                      # angular lane tables
             w_spec((ANG_PAD, H)), w_spec((H, H)), w_spec((1, H)),
             w_spec((1, H)), w_spec((1, H)),
             w_spec((ANG_PAD, H)), w_spec((H, H)), w_spec((1, H)),
@@ -178,7 +213,7 @@ def _fwd_call(n_heads, bf16, IB, angle, tkj_k, tij_k, tkj_v, tij_v, q,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == 'cpu',
-    )(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask, hh,
+    )(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask, hh, angf,
       wa_k, wo_k, bo_k, lns_k, lnb_k, wa_v, wo_v, bo_v, lns_v, lnb_v)
 
 
@@ -190,17 +225,19 @@ def _fwd_call(n_heads, bf16, IB, angle, tkj_k, tij_k, tkj_v, tij_v, q,
 # programs into resident VMEM output blocks.
 # --------------------------------------------------------------------------
 
-def _angular_grad_code(x):
-    """d(angular code)/dx as 16 lanes: [1, f*cos(f x)..., -f*sin(f x)..., 0]."""
-    cols = [jnp.ones_like(x)]
-    cols += [f * jnp.cos(x * f) for f in _ANG_FREQS]
-    cols += [-f * jnp.sin(x * f) for f in _ANG_FREQS]
-    cols += [jnp.zeros_like(x)] * 3
-    return jnp.stack(cols, axis=-1)
+def _angular_grad_code(x, angf):
+    """d(angular code)/dx as 16 lanes: [1, f*cos(f x)..., -f*sin(f x)..., 0],
+    lane-parallel like _angular_encode_padded."""
+    NN = int(np.prod(x.shape))
+    xb = jnp.broadcast_to(x[..., None], x.shape + (ANG_PAD,)).reshape(
+        NN, ANG_PAD)
+    freq, xsel, sinsel, cossel = (angf[0:1], angf[1:2], angf[2:3], angf[3:4])
+    s, c = _fast_sincos(xb * freq)
+    return xsel + freq * c * sinsel - freq * s * cossel
 
 
 def _bwd_kernel(g_ref, angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
-                q_ref, mask_ref, hh_ref,
+                q_ref, mask_ref, hh_ref, angf_ref,
                 wa_k_ref, wo_k_ref, bo_k_ref, lns_k_ref, lnb_k_ref,
                 wa_v_ref, wo_v_ref, bo_v_ref, lns_v_ref, lnb_v_ref,
                 d_angle_ref, d_tkj_k_ref, d_tij_k_ref, d_tkj_v_ref,
@@ -219,7 +256,7 @@ def _bwd_kernel(g_ref, angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
     NN = IB * Nl * Nl
     eps = 1e-5
 
-    af2 = _angular_encode_padded(angle).reshape(NN, ANG_PAD)
+    af2 = _angular_encode_padded(angle, angf_ref[:])
 
     def recompute(tkj_ref, tij_ref, wa_ref, lns_ref, lnb_ref):
         """Replay of the forward branch, returning what its backward needs."""
@@ -329,13 +366,13 @@ def _bwd_kernel(g_ref, angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
                         lns_v_ref, d_tkj_v_ref, d_tij_v_ref, d_wa_v_ref,
                         d_wo_v_ref, d_bo_v_ref, d_lns_v_ref, d_lnb_v_ref)
 
-    dcode = _angular_grad_code(angle).reshape(NN, ANG_PAD)
+    dcode = _angular_grad_code(angle, angf_ref[:])
     d_angle = ((d_af_k + d_af_v) * dcode).sum(axis=-1)
     d_angle_ref[0] = d_angle.reshape(IB, Nl, Nl)
 
 
 def _bwd_call(n_heads, IB, g, angle, tkj_k, tij_k, tkj_v, tij_v, q,
-              bond_mask, hh, wa_k, wo_k, bo_k, lns_k, lnb_k,
+              bond_mask, hh, angf, wa_k, wo_k, bo_k, lns_k, lnb_k,
               wa_v, wo_v, bo_v, lns_v, lnb_v):
     B, Nl = angle.shape[0], angle.shape[1]
     H = tkj_k.shape[-1]
@@ -397,6 +434,7 @@ def _bwd_call(n_heads, IB, g, angle, tkj_k, tij_k, tkj_v, tij_v, q,
             pl.BlockSpec((1, Nl, Nl), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             w_spec((H, H)),
+            w_spec((4, ANG_PAD)),
             w_spec((ANG_PAD, H)), w_spec((H, H)), w_spec((1, H)),
             w_spec((1, H)), w_spec((1, H)),
             w_spec((ANG_PAD, H)), w_spec((H, H)), w_spec((1, H)),
@@ -407,16 +445,16 @@ def _bwd_call(n_heads, IB, g, angle, tkj_k, tij_k, tkj_v, tij_v, q,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == 'cpu',
-    )(g, angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask, hh,
+    )(g, angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask, hh, angf,
       wa_k, wo_k, bo_k, lns_k, lnb_k, wa_v, wo_v, bo_v, lns_v, lnb_v)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _triplet_core(n_heads, bf16, IB, angle, tkj_k, tij_k, tkj_v, tij_v, q,
-                  bond_mask, hh, wa_k, wo_k, bo_k, lns_k, lnb_k,
+                  bond_mask, hh, angf, wa_k, wo_k, bo_k, lns_k, lnb_k,
                   wa_v, wo_v, bo_v, lns_v, lnb_v):
     return _fwd_call(n_heads, bf16, IB, angle, tkj_k, tij_k, tkj_v, tij_v, q,
-                     bond_mask, hh, wa_k, wo_k, bo_k, lns_k, lnb_k,
+                     bond_mask, hh, angf, wa_k, wo_k, bo_k, lns_k, lnb_k,
                      wa_v, wo_v, bo_v, lns_v, lnb_v)
 
 
@@ -425,15 +463,16 @@ def _triplet_core_fwd(n_heads, bf16, IB, *args):
 
 
 def _triplet_core_bwd(n_heads, bf16, IB, res, g):
-    (angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask, hh,
+    (angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask, hh, angf,
      wa_k, wo_k, bo_k, lns_k, lnb_k, wa_v, wo_v, bo_v, lns_v, lnb_v) = res
     (d_angle, d_tkj_k, d_tij_k, d_tkj_v, d_tij_v, d_q,
      d_wa_k, d_wo_k, d_bo_k, d_lns_k, d_lnb_k,
      d_wa_v, d_wo_v, d_bo_v, d_lns_v, d_lnb_v) = _bwd_call(
         n_heads, IB, g, angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask, hh,
-        wa_k, wo_k, bo_k, lns_k, lnb_k, wa_v, wo_v, bo_v, lns_v, lnb_v)
+        angf, wa_k, wo_k, bo_k, lns_k, lnb_k, wa_v, wo_v, bo_v, lns_v, lnb_v)
     return (d_angle, d_tkj_k, d_tij_k, d_tkj_v, d_tij_v, d_q,
             jnp.zeros_like(bond_mask), jnp.zeros_like(hh),
+            jnp.zeros_like(angf),
             d_wa_k, d_wo_k, d_bo_k, d_lns_k, d_lnb_k,
             d_wa_v, d_wo_v, d_bo_v, d_lns_v, d_lnb_v)
 
@@ -465,7 +504,8 @@ def triplet_attention_pallas(angle, tkj_k, tij_k, tkj_v, tij_v, q, bond_mask,
     B, Nl = angle.shape[0], angle.shape[1]
     H = tkj_k.shape[-1]
     hh = _head_matrix(H, n_heads)
+    angf = jnp.asarray(_ang_table())
     IB = _pick_i_block(i_block, Nl)
     return _triplet_core(n_heads, bf16, IB, angle, tkj_k, tij_k, tkj_v,
-                         tij_v, q, bond_mask, hh, wa_k, wo_k, bo_k, lns_k,
-                         lnb_k, wa_v, wo_v, bo_v, lns_v, lnb_v)
+                         tij_v, q, bond_mask, hh, angf, wa_k, wo_k, bo_k,
+                         lns_k, lnb_k, wa_v, wo_v, bo_v, lns_v, lnb_v)
