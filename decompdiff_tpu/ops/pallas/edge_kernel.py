@@ -69,6 +69,17 @@ def _z_tables(n_etypes: int) -> np.ndarray:
     return t
 
 
+def _lane_mean(x):
+    """Mean over the lane (last) dim, returned broadcast to ALL lanes, via
+    one ones-matrix matmul on the MXU — skips the VPU lane-reduction +
+    1-lane relayout + re-broadcast chain (see triplet_kernel._lane_mean;
+    round-3 in-model sweep: 12.96 -> 11.07 ms/step)."""
+    H = x.shape[-1]
+    ones_h = jnp.full((H, H), 1.0 / H, jnp.float32)
+    return jnp.dot(x.reshape(-1, H), ones_h,
+                   preferred_element_type=jnp.float32).reshape(x.shape)
+
+
 def _build_z(dist, attrs, ztab_ref, TK):
     """z [TK, EDGE_FEAT_PAD] = outer(edge_type, [rbf | 1]) built lane-
     parallel in one width-128 block: the former per-type `concatenate` of
@@ -203,9 +214,9 @@ def _edge_kernel(xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref, ew_ref,
             preferred_element_type=jnp.float32)
         pre = pre.reshape(T, K, H)
         pre = pre + ti_ref[0][:, None, :]
-        mean = pre.mean(-1, keepdims=True)
-        var = ((pre - mean) ** 2).mean(-1, keepdims=True)
-        y = (pre - mean) * jax.lax.rsqrt(var + 1e-5) * lns_ref[0] + lnb_ref[0]
+        dlt = pre - _lane_mean(pre)
+        y = dlt * jax.lax.rsqrt(_lane_mean(dlt * dlt) + 1e-5) \
+            * lns_ref[0] + lnb_ref[0]
         y = jnp.maximum(y, 0.0)
         o = jnp.dot(y.reshape(T * K, H), wo_ref[:],
                     preferred_element_type=jnp.float32)
@@ -316,10 +327,9 @@ def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref,
             preferred_element_type=jnp.float32)
         pre = pre.reshape(T, K, H)
         pre = pre + ti_ref[0][:, None, :]
-        mean = pre.mean(-1, keepdims=True)
-        var = ((pre - mean) ** 2).mean(-1, keepdims=True)
-        rstd = jax.lax.rsqrt(var + 1e-5)
-        xhat = (pre - mean) * rstd
+        d = pre - _lane_mean(pre)
+        rstd = jax.lax.rsqrt(_lane_mean(d * d) + 1e-5)
+        xhat = d * rstd
         y = jnp.maximum(xhat * lns_ref[0] + lnb_ref[0], 0.0)
         o = jnp.dot(y.reshape(TK, H), wo_ref[:],
                     preferred_element_type=jnp.float32)
@@ -420,8 +430,8 @@ def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref,
                                                           keepdims=True)
         d_lnb_ref[...] += d_u.reshape(TK, H).sum(axis=0, keepdims=True)
         d_xhat = d_u * lns_ref[0]
-        d_pre = rstd * (d_xhat - d_xhat.mean(-1, keepdims=True)
-                        - xhat * (d_xhat * xhat).mean(-1, keepdims=True))
+        d_pre = rstd * (d_xhat - _lane_mean(d_xhat)
+                        - xhat * _lane_mean(d_xhat * xhat))
         d_ti_ref[0] = d_pre.sum(axis=1)
         d_pre2 = d_pre.reshape(TK, H)
         d_we_ref[...] += jax.lax.dot_general(

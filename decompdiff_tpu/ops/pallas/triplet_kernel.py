@@ -82,10 +82,24 @@ def _angular_encode_padded(x, angf):
     return xb * xsel + s * sinsel + c * cossel
 
 
+def _lane_mean(x):
+    """Mean over the lane (last) dim, returned broadcast to ALL lanes, via
+    one [NN, H] @ ones[H, H]/H matmul on the MXU. A VPU lane reduction
+    materializes a 1-lane array and re-broadcasts it — two relayout passes
+    over a cubic array; the ones matmul skips both (round-3 in-model sweep:
+    12.96 -> 11.07 ms/step with this in the edge + triplet kernels). Runs
+    at the default MXU precision — the same noise class as every other
+    matmul in these kernels."""
+    H = x.shape[-1]
+    ones_h = jnp.full((H, H), 1.0 / H, jnp.float32)
+    return jnp.dot(x.reshape(-1, H), ones_h,
+                   preferred_element_type=jnp.float32).reshape(x.shape)
+
+
 def _layer_norm(x, scale, bias, eps=1e-5):
-    mean = x.mean(-1, keepdims=True)
-    var = ((x - mean) ** 2).mean(-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    d = x - _lane_mean(x)
+    var = _lane_mean(d * d)
+    return d * jax.lax.rsqrt(var + eps) * scale + bias
 
 
 def _kernel(angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
@@ -263,10 +277,9 @@ def _bwd_kernel(g_ref, angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
         pre = jnp.dot(af2, wa_ref[:], preferred_element_type=jnp.float32)
         pre = pre.reshape(IB, Nl, Nl, H)
         pre = pre + tkj_ref[0][None] + tij_ref[0][:, :, None, :]
-        mean = pre.mean(-1, keepdims=True)
-        var = ((pre - mean) ** 2).mean(-1, keepdims=True)
-        rstd = jax.lax.rsqrt(var + eps)
-        xhat = (pre - mean) * rstd
+        d = pre - _lane_mean(pre)
+        rstd = jax.lax.rsqrt(_lane_mean(d * d) + eps)
+        xhat = d * rstd
         u = xhat * lns_ref[0] + lnb_ref[0]
         y = jnp.maximum(u, 0.0)
         return xhat, rstd, y
@@ -341,8 +354,8 @@ def _bwd_kernel(g_ref, angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
                                                           keepdims=True)
         d_lnb_ref[...] += d_u.reshape(NN, H).sum(axis=0, keepdims=True)
         d_xhat = d_u * lns_ref[0]
-        d_pre = rstd * (d_xhat - d_xhat.mean(-1, keepdims=True)
-                        - xhat * (d_xhat * xhat).mean(-1, keepdims=True))
+        d_pre = rstd * (d_xhat - _lane_mean(d_xhat)
+                        - xhat * _lane_mean(d_xhat * xhat))
 
         @pl.when(ip == 0)
         def _():
