@@ -53,13 +53,25 @@ class BucketedLoader:
             order = np.array(self.indices)
             if self.shuffle:
                 self.rng.shuffle(order)
+            ok = 0
             for idx in order:
                 try:
-                    yield self.dataset[int(idx)]
+                    rec = self.dataset[int(idx)]
                 except Exception as e:
                     # error-bucket robustness: skip bad samples, but count
                     self.skip_counts[type(e).__name__] += 1
                     continue
+                ok += 1
+                yield rec
+            if len(order) and ok == 0:
+                # every sample failed: an infinite loader would otherwise
+                # spin at 100% CPU forever while the consumer blocks on an
+                # empty queue with no diagnostic (mis-built store, wrong
+                # featurize config, ...). Fail loudly instead; the error
+                # reaches the consumer through the queue.
+                raise RuntimeError(
+                    'BucketedLoader: every sample in the epoch failed to '
+                    f'featurize; skip counts: {dict(self.skip_counts)}')
             if not self.infinite:
                 return
 

@@ -1,6 +1,7 @@
 """AUROC metrics, bucketed loader, metrics logger, plateau wiring."""
 
 import os
+import pytest
 
 import numpy as np
 
@@ -104,4 +105,24 @@ def test_bucketed_loader_counts_poisoned_records():
     batches = list(loader)
     assert sum(b.batch_size for b in batches) == 8
     assert loader.skip_counts == {'KeyError': 1}
+    loader.close()
+
+
+def test_bucketed_loader_all_failing_raises():
+    """If EVERY sample of an epoch fails to featurize (mis-built store,
+    wrong featurize config), the infinite loader must raise through the
+    queue instead of spinning at 100% CPU while the consumer blocks
+    forever (round-3 hardening)."""
+    class BrokenDS:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            raise KeyError('bad store entry')
+
+    loader = BucketedLoader(BrokenDS(), range(6), batch_size=4,
+                            shuffle=False, infinite=True)
+    with pytest.raises(RuntimeError, match='every sample'):
+        next(iter(loader))
+    assert loader.skip_counts == {'KeyError': 6}
     loader.close()
