@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import queue
 import threading
-from collections import Counter
+from collections import Counter, deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -34,6 +35,7 @@ class BucketedLoader:
         self.dataset = dataset
         self.indices = list(indices)
         self.batch_size = batch_size
+        self.num_threads = max(1, int(num_threads))
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.buckets = (protein_buckets, ligand_buckets, group_buckets)
@@ -48,15 +50,34 @@ class BucketedLoader:
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
 
-    def _record_iter(self):
+    def _record_iter(self, pool):
+        """Epochs of featurized records. Featurization runs on `pool`
+        (num_threads workers — numpy releases the GIL for the heavy parts),
+        with a bounded in-flight window consumed in submission order so the
+        record stream stays deterministic for a fixed seed."""
+        depth = 2 * self.num_threads + 2
         while True:
             order = np.array(self.indices)
             if self.shuffle:
                 self.rng.shuffle(order)
             ok = 0
-            for idx in order:
+            inflight = deque()
+            it = iter(order)
+
+            def submit_next():
+                for idx in it:
+                    inflight.append(pool.submit(self.dataset.__getitem__,
+                                                int(idx)))
+                    return
+            for _ in range(depth):
+                submit_next()
+            while inflight:
+                fut = inflight.popleft()
+                submit_next()
+                if self._stop.is_set():
+                    return
                 try:
-                    rec = self.dataset[int(idx)]
+                    rec = fut.result()
                 except Exception as e:
                     # error-bucket robustness: skip bad samples, but count
                     self.skip_counts[type(e).__name__] += 1
@@ -79,31 +100,38 @@ class BucketedLoader:
         pb, lb, gb = self.buckets
         pending: dict = {}
         try:
-            for rec in self._record_iter():
-                if self._stop.is_set():
-                    return
-                try:
-                    key = bucket_key(rec, pb, lb, gb)
-                except ValueError:
-                    if self.drop_oversize:
-                        self.skip_counts['oversize'] += 1
-                        continue
-                    raise
-                pending.setdefault(key, []).append(rec)
-                if len(pending[key]) == self.batch_size:
-                    batch = collate(pending.pop(key),
-                                    np_override=key[0], nl_override=key[1],
-                                    na_override=key[2])
-                    self._queue.put(batch)
-            # flush partial batches at the end of a finite pass
-            for key, recs in pending.items():
-                if recs:
-                    self._queue.put(collate(
-                        recs, np_override=key[0], nl_override=key[1],
-                        na_override=key[2]))
-            self._queue.put(None)
+            with ThreadPoolExecutor(
+                    max_workers=self.num_threads,
+                    thread_name_prefix='ddtpu-featurize') as pool:
+                yield_iter = self._record_iter(pool)
+                self._bucket_loop(yield_iter, pb, lb, gb, pending)
         except Exception as e:  # surface producer errors to the consumer
             self._queue.put(e)
+
+    def _bucket_loop(self, records, pb, lb, gb, pending):
+        for rec in records:
+            if self._stop.is_set():
+                return
+            try:
+                key = bucket_key(rec, pb, lb, gb)
+            except ValueError:
+                if self.drop_oversize:
+                    self.skip_counts['oversize'] += 1
+                    continue
+                raise
+            pending.setdefault(key, []).append(rec)
+            if len(pending[key]) == self.batch_size:
+                batch = collate(pending.pop(key),
+                                np_override=key[0], nl_override=key[1],
+                                na_override=key[2])
+                self._queue.put(batch)
+        # flush partial batches at the end of a finite pass
+        for key, recs in pending.items():
+            if recs:
+                self._queue.put(collate(
+                    recs, np_override=key[0], nl_override=key[1],
+                    na_override=key[2]))
+        self._queue.put(None)
 
     def __iter__(self) -> Iterator:
         while True:

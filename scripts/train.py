@@ -11,6 +11,7 @@ best-checkpoint saving — plus real resume (absent in the reference).
 """
 
 import argparse
+import threading
 import os
 import sys
 
@@ -88,8 +89,10 @@ def main():
     logger.info(f'train: {len(split["train"])}, test: {len(split["test"])}')
 
     batch_size = config.train.batch_size
+    num_workers = int(config.train.get('num_workers', 4))  # ref training.yml:67
     train_loader = BucketedLoader(dataset, split['train'], batch_size,
-                                  shuffle=True, seed=config.train.seed)
+                                  shuffle=True, seed=config.train.seed,
+                                  num_threads=num_workers)
     train_iter = iter(train_loader)
 
     # --- model ---
@@ -133,26 +136,39 @@ def main():
     eval_step = make_eval_step(model, config.train)
     rng = jax.random.PRNGKey(config.train.seed)
 
+    # the val set is featurized/collated ONCE and reused every validation
+    # (a fresh loader per call re-featurized the whole split each time —
+    # at 10 eval timesteps x several batches that dominated training wall
+    # time; host syncs are also deferred so the eval dispatches pipeline
+    # over the tunnel instead of blocking per (batch, t))
+    val_batches = []
+
     def validate(it):
-        val_loader = BucketedLoader(dataset, split['test'], batch_size,
-                                    shuffle=False, infinite=False)
+        if not val_batches:
+            val_loader = BucketedLoader(dataset, split['test'], batch_size,
+                                        shuffle=False, infinite=False,
+                                        num_threads=num_workers)
+            val_batches.extend(val_loader)
+            val_loader.close()
+        results = []
+        for batch in val_batches:
+            for t in np.linspace(0, model.num_timesteps - 1, 10).astype(int):
+                results.append((batch, eval_step(
+                    state.params, batch, int(t), jax.random.PRNGKey(it))))
         losses, n = {}, 0
         all_pred_v, all_true_v = [], []
         all_pred_b, all_true_b = [], []
-        for batch in val_loader:
-            for t in np.linspace(0, model.num_timesteps - 1, 10).astype(int):
-                metrics, v_recon, b_recon = eval_step(
-                    state.params, batch, int(t), jax.random.PRNGKey(it))
-                for k, v in metrics.items():
-                    losses[k] = losses.get(k, 0.0) + float(v)
-                n += 1
-                lm = np.asarray(batch.ligand_mask)
-                all_pred_v.append(np.asarray(v_recon)[lm])
-                all_true_v.append(np.asarray(batch.ligand_v)[lm])
-                if b_recon is not None:
-                    bm = np.asarray(batch.bond_mask)
-                    all_pred_b.append(np.asarray(b_recon)[bm])
-                    all_true_b.append(np.asarray(batch.bond_type)[bm])
+        for batch, (metrics, v_recon, b_recon) in results:
+            for k, v in metrics.items():
+                losses[k] = losses.get(k, 0.0) + float(v)
+            n += 1
+            lm = np.asarray(batch.ligand_mask)
+            all_pred_v.append(np.asarray(v_recon)[lm])
+            all_true_v.append(np.asarray(batch.ligand_v)[lm])
+            if b_recon is not None:
+                bm = np.asarray(batch.bond_mask)
+                all_pred_b.append(np.asarray(b_recon)[bm])
+                all_true_b.append(np.asarray(batch.bond_type)[bm])
         losses = {k: v / max(n, 1) for k, v in losses.items()}
         atom_auroc = get_auroc(np.concatenate(all_true_v),
                                np.concatenate(all_pred_v))
@@ -169,6 +185,25 @@ def main():
     max_iters = args.max_iters or config.train.max_iters
     val_freq = args.val_freq or config.train.val_freq
     best_loss, best_iter = None, None
+
+    # async checkpointing: device->host transfer + pickle of the full state
+    # runs on a worker thread so training keeps dispatching (the state
+    # pytree stays valid — train_step does not donate its buffers; jax
+    # arrays are immutable). Over the tunneled chip a save costs ~60 s of
+    # wall otherwise. One save in flight at a time; joined before the next
+    # save and at exit so a written checkpoint is always complete.
+    ckpt_thread = None
+
+    def save_async(path, state_snapshot, sched_state, it):
+        nonlocal ckpt_thread
+        if ckpt_thread is not None:
+            ckpt_thread.join()
+        ckpt_thread = threading.Thread(
+            target=save_checkpoint,
+            args=(path, config.to_dict(), state_snapshot, sched_state, it),
+            daemon=False)
+        ckpt_thread.start()
+
     try:
         for it in range(start_iter, max_iters + 1):
             batch = next(train_iter)
@@ -211,10 +246,9 @@ def main():
                 if best_loss is None or val_loss < best_loss:
                     best_loss, best_iter = val_loss, it
                     path = os.path.join(ckpt_dir, f'{it}.ckpt')
-                    save_checkpoint(path, config.to_dict(), state,
-                                    scheduler.state_dict(), it)
+                    save_async(path, state, scheduler.state_dict(), it)
                     logger.info(f'[val] best val loss {val_loss:.6f}, '
-                                f'saved {path}')
+                                f'saving {path} (async)')
                 else:
                     logger.info(f'[val] not improved; best {best_loss:.6f} '
                                 f'at iter {best_iter}')
@@ -222,6 +256,8 @@ def main():
         logger.info('Terminating...')
     finally:
         train_loader.close()
+        if ckpt_thread is not None:
+            ckpt_thread.join()
 
 
 if __name__ == '__main__':
