@@ -87,6 +87,10 @@ def main():
     files = sorted(glob.glob(os.path.join(args.trace_dir, '**',
                                           '*.trace.json.gz'), recursive=True),
                    key=os.path.getmtime)
+    if not files:
+        print(f'no trace file found under {args.trace_dir}; '
+              'timing above is still valid')
+        return
     ev, cnt = collections.Counter(), collections.Counter()
     with gzip.open(files[-1]) as fh:
         data = json.load(fh)

@@ -106,7 +106,18 @@ class BucketedLoader:
                 yield_iter = self._record_iter(pool)
                 self._bucket_loop(yield_iter, pb, lb, gb, pending)
         except Exception as e:  # surface producer errors to the consumer
-            self._queue.put(e)
+            self._put(e)
+
+    def _put(self, item) -> bool:
+        """Enqueue unless close() was requested; never blocks forever on a
+        full queue with no consumer (returns False once stopped)."""
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _bucket_loop(self, records, pb, lb, gb, pending):
         for rec in records:
@@ -124,14 +135,21 @@ class BucketedLoader:
                 batch = collate(pending.pop(key),
                                 np_override=key[0], nl_override=key[1],
                                 na_override=key[2])
-                self._queue.put(batch)
+                if not self._put(batch):
+                    return
+        if self._stop.is_set():
+            # close() mid-stream: don't flush partial batches into a queue
+            # nobody drains (the producer would block forever and leak the
+            # featurize pool)
+            return
         # flush partial batches at the end of a finite pass
         for key, recs in pending.items():
             if recs:
-                self._queue.put(collate(
-                    recs, np_override=key[0], nl_override=key[1],
-                    na_override=key[2]))
-        self._queue.put(None)
+                if not self._put(collate(
+                        recs, np_override=key[0], nl_override=key[1],
+                        na_override=key[2])):
+                    return
+        self._put(None)
 
     def __iter__(self) -> Iterator:
         while True:

@@ -10,9 +10,12 @@ utils/train.py:34-56:
   * plateau LR scheduler on validation loss (factor 0.6, patience 10,
     min_lr 1e-6; ref utils/train.py:46-56)
 
-The step is one jit with donated state; the batch is sharded over the mesh's
-'dp' axis and XLA derives the gradient all-reduce from the shardings (no
-hand-written collectives).
+The step is one jit WITHOUT buffer donation — this is load-bearing: the
+async checkpoint saver (scripts/train.py) snapshots `state` on a background
+thread and relies on the old buffers staying valid; adding donate_argnums
+here would hand it deleted buffers mid-save. The batch is sharded over the
+mesh's 'dp' axis and XLA derives the gradient all-reduce from the shardings
+(no hand-written collectives).
 """
 
 from __future__ import annotations

@@ -136,29 +136,42 @@ def main():
     eval_step = make_eval_step(model, config.train)
     rng = jax.random.PRNGKey(config.train.seed)
 
-    # the val set is featurized/collated ONCE and reused every validation
-    # (a fresh loader per call re-featurized the whole split each time —
-    # at 10 eval timesteps x several batches that dominated training wall
-    # time; host syncs are also deferred so the eval dispatches pipeline
-    # over the tunnel instead of blocking per (batch, t))
+    # Validation wall-time fixes (a fresh loader per call used to
+    # re-featurize the whole split and a host sync ran per (batch, t),
+    # dominating training wall time):
+    #  * small splits are featurized/collated ONCE and cached; big splits
+    #    (real CrossDocked scale) stream through a pooled loader instead of
+    #    pinning GBs of host RAM for the run's lifetime
+    #  * host syncs trail the eval dispatches by a bounded window so they
+    #    pipeline over the tunnel with O(window) live device buffers
+    VAL_CACHE_MAX_RECORDS = 2048
     val_batches = []
+    cache_val = len(split['test']) <= VAL_CACHE_MAX_RECORDS
+
+    def _val_batch_stream():
+        if cache_val and val_batches:
+            return iter(val_batches)
+        val_loader = BucketedLoader(dataset, split['test'], batch_size,
+                                    shuffle=False, infinite=False,
+                                    num_threads=num_workers)
+
+        def gen():
+            for b in val_loader:
+                if cache_val:
+                    val_batches.append(b)
+                yield b
+            val_loader.close()
+        return gen()
 
     def validate(it):
-        if not val_batches:
-            val_loader = BucketedLoader(dataset, split['test'], batch_size,
-                                        shuffle=False, infinite=False,
-                                        num_threads=num_workers)
-            val_batches.extend(val_loader)
-            val_loader.close()
-        results = []
-        for batch in val_batches:
-            for t in np.linspace(0, model.num_timesteps - 1, 10).astype(int):
-                results.append((batch, eval_step(
-                    state.params, batch, int(t), jax.random.PRNGKey(it))))
         losses, n = {}, 0
         all_pred_v, all_true_v = [], []
         all_pred_b, all_true_b = [], []
-        for batch, (metrics, v_recon, b_recon) in results:
+        window = []
+
+        def drain_one():
+            nonlocal n
+            batch, (metrics, v_recon, b_recon) = window.pop(0)
             for k, v in metrics.items():
                 losses[k] = losses.get(k, 0.0) + float(v)
             n += 1
@@ -169,6 +182,15 @@ def main():
                 bm = np.asarray(batch.bond_mask)
                 all_pred_b.append(np.asarray(b_recon)[bm])
                 all_true_b.append(np.asarray(batch.bond_type)[bm])
+
+        for batch in _val_batch_stream():
+            for t in np.linspace(0, model.num_timesteps - 1, 10).astype(int):
+                window.append((batch, eval_step(
+                    state.params, batch, int(t), jax.random.PRNGKey(it))))
+                if len(window) > 16:
+                    drain_one()
+        while window:
+            drain_one()
         losses = {k: v / max(n, 1) for k, v in losses.items()}
         atom_auroc = get_auroc(np.concatenate(all_true_v),
                                np.concatenate(all_pred_v))
@@ -188,19 +210,38 @@ def main():
 
     # async checkpointing: device->host transfer + pickle of the full state
     # runs on a worker thread so training keeps dispatching (the state
-    # pytree stays valid — train_step does not donate its buffers; jax
+    # pytree stays valid — train_step does NOT donate its buffers, a
+    # load-bearing invariant documented in training/train_step.py; jax
     # arrays are immutable). Over the tunneled chip a save costs ~60 s of
     # wall otherwise. One save in flight at a time; joined before the next
-    # save and at exit so a written checkpoint is always complete.
+    # save and at exit, and a failed save re-raises at the join so a run
+    # cannot finish "successfully" pointing at a checkpoint that was never
+    # written.
     ckpt_thread = None
+    ckpt_error: list = []
 
-    def save_async(path, state_snapshot, sched_state, it):
+    def _save_worker(path, state_snapshot, sched_state, it):
+        try:
+            save_checkpoint(path, config.to_dict(), state_snapshot,
+                            sched_state, it)
+        except BaseException as e:
+            ckpt_error.append(e)
+
+    def join_ckpt():
         nonlocal ckpt_thread
         if ckpt_thread is not None:
             ckpt_thread.join()
+            ckpt_thread = None
+        if ckpt_error:
+            raise RuntimeError(
+                'async checkpoint save failed') from ckpt_error[0]
+
+    def save_async(path, state_snapshot, sched_state, it):
+        nonlocal ckpt_thread
+        join_ckpt()
         ckpt_thread = threading.Thread(
-            target=save_checkpoint,
-            args=(path, config.to_dict(), state_snapshot, sched_state, it),
+            target=_save_worker,
+            args=(path, state_snapshot, sched_state, it),
             daemon=False)
         ckpt_thread.start()
 
@@ -256,8 +297,7 @@ def main():
         logger.info('Terminating...')
     finally:
         train_loader.close()
-        if ckpt_thread is not None:
-            ckpt_thread.join()
+        join_ckpt()
 
 
 if __name__ == '__main__':
