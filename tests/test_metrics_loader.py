@@ -126,3 +126,25 @@ def test_bucketed_loader_all_failing_raises():
         next(iter(loader))
     assert loader.skip_counts == {'KeyError': 6}
     loader.close()
+
+
+def test_bucketed_loader_close_mid_stream_joins():
+    """close() while the prefetch queue is full must let the producer (and
+    its featurize pool) exit instead of blocking forever in queue.put on a
+    queue nobody drains (round-3 hardening)."""
+    rng = np.random.default_rng(2)
+    records = [featurize_sample(_raw_sample(rng, 30, 9, 2)) for _ in range(4)]
+
+    class DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return records[i % 4]
+
+    loader = BucketedLoader(DS(), range(64), batch_size=4, shuffle=False,
+                            infinite=True, prefetch=2)
+    next(iter(loader))          # producer running, queue refills to full
+    loader.close()
+    loader._thread.join(timeout=10)
+    assert not loader._thread.is_alive()
