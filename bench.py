@@ -42,10 +42,61 @@ NUM_FULL_PROTEIN = 2048
 NUM_STEPS = 1000
 
 
+def _relay_running() -> bool:
+    """Cheap check: is the axon stdio relay (/root/.tpu_init.py) running?
+
+    When the relay dies, `jax.devices()` HANGS rather than raising, so a
+    /proc scan avoids paying the probe subprocess's timeout in the dead case.
+    """
+    for pid in os.listdir('/proc'):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f'/proc/{pid}/cmdline', 'rb') as f:
+                if b'tpu_init' in f.read():
+                    return True
+        except OSError:
+            continue
+    return False
+
+
+def _tpu_alive(timeout_s: float = 180.0) -> bool:
+    """Probe TPU availability in a subprocess.
+
+    The axon tunnel can die mid-session (its relay process exits and nothing
+    in-VM can restart it); when that happens `jax.devices()` HANGS rather than
+    raising, so the probe must run out-of-process under a hard timeout. The
+    relay /proc scan short-circuits the obviously-dead case.
+    """
+    import subprocess
+    import sys
+    if not _relay_running():
+        return False
+    try:
+        proc = subprocess.run(
+            [sys.executable, '-c',
+             'import jax; d = jax.devices(); '
+             'raise SystemExit(0 if d and d[0].platform != "cpu" else 1)'],
+            timeout=timeout_s, capture_output=True)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import sys
 
+    cpu_fallback = False
+    if not _tpu_alive():
+        # Dead tunnel: record an honest degraded measurement instead of
+        # hanging the driver. CPU + dense + few steps; the metric name says so.
+        cpu_fallback = True
+        os.environ['JAX_PLATFORMS'] = 'cpu'
+
     import jax
+
+    if cpu_fallback:
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
 
     from decompdiff_tpu.data.batch import FullProtein
@@ -55,23 +106,33 @@ def main():
         DEFAULT_MODEL_CONFIG, random_complex_batch)
 
     dense = '--dense' in sys.argv[1:]  # re-measure the baseline path
+    num_steps = NUM_STEPS
+    batch_size, num_protein, num_ligand, num_full = (
+        BATCH, NUM_PROTEIN, NUM_LIGAND, NUM_FULL_PROTEIN)
+    n_runs = 2
+    if cpu_fallback:
+        # Dense CPU at the real shapes is minutes/step (cubic triplet
+        # tensors); shrink everything so the fallback finishes in ~2 min.
+        dense = True   # interpret-mode Pallas on CPU is pathologically slow
+        num_steps, n_runs = 10, 1
+        batch_size, num_protein, num_ligand, num_full = 2, 96, 16, 256
     cfg = dict(DEFAULT_MODEL_CONFIG)
     cfg['use_pallas'] = not dense  # fused triplet-attention kernel
     model = DecompDiffModel.create(cfg, num_classes=8)
 
     rng = np.random.default_rng(0)
     batch = random_complex_batch(
-        rng, batch_size=BATCH, num_protein=NUM_PROTEIN,
-        num_ligand=NUM_LIGAND, num_groups=6)
+        rng, batch_size=batch_size, num_protein=num_protein,
+        num_ligand=num_ligand, num_groups=6)
     params = model.init_params(jax.random.PRNGKey(0), batch)
 
     full_protein = FullProtein(
-        pos=jnp.asarray(rng.normal(size=(BATCH, NUM_FULL_PROTEIN, 3)) * 8,
+        pos=jnp.asarray(rng.normal(size=(batch_size, num_full, 3)) * 8,
                         jnp.float32),
-        mask=jnp.ones((BATCH, NUM_FULL_PROTEIN), bool))
+        mask=jnp.ones((batch_size, num_full), bool))
 
     sample_cfg = SampleConfig(
-        num_steps=NUM_STEPS, save_traj=False,
+        num_steps=num_steps, save_traj=False,
         energy_drift=({'type': 'armsca_prox', 'min_d': 1.2, 'max_d': 1.9},
                       {'type': 'clash', 'sigma': 2.0, 'gamma': 4.0}))
 
@@ -94,18 +155,24 @@ def main():
 
     run(0)  # compile
     t0 = time.perf_counter()
-    n_runs = 2
     for i in range(n_runs):
         run(i + 1)
     elapsed = (time.perf_counter() - t0) / n_runs
 
-    sec_per_mol = elapsed / BATCH
+    sec_per_mol = elapsed / batch_size
+    if cpu_fallback:
+        metric = 'sampling_sec_per_molecule_CPU_FALLBACK_tunnel_dead_tiny'
+    elif dense:
+        metric = 'sampling_sec_per_molecule_1000step_guided_dense'
+    else:
+        metric = 'sampling_sec_per_molecule_1000step_guided'
     print(json.dumps({
-        'metric': ('sampling_sec_per_molecule_1000step_guided_dense'
-                   if dense else 'sampling_sec_per_molecule_1000step_guided'),
+        'metric': metric,
         'value': round(sec_per_mol, 4),
         'unit': 's/mol',
-        'vs_baseline': round(BASELINE_SEC_PER_MOL / sec_per_mol, 2),
+        # not comparable to the TPU dense baseline in fallback mode
+        'vs_baseline': 0.0 if cpu_fallback else round(
+            BASELINE_SEC_PER_MOL / sec_per_mol, 2),
     }))
 
 

@@ -50,6 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from decompdiff_tpu.models.common import FIXED_RBF_OFFSETS
+from decompdiff_tpu.ops.pallas.common import lane_mean as _lane_mean
 
 EDGE_FEAT_PAD = 128  # 4*21 = 84 (or 6*21 = 126) rows used, zero-padded
 _R1 = 21             # [rbf x20 | const-1] lanes per edge type
@@ -67,17 +68,6 @@ def _z_tables(n_etypes: int) -> np.ndarray:
         t[1, f * _R1 + 20] = 1.0
         t[2 + f, f * _R1:(f + 1) * _R1] = 1.0
     return t
-
-
-def _lane_mean(x):
-    """Mean over the lane (last) dim, returned broadcast to ALL lanes, via
-    one ones-matrix matmul on the MXU — skips the VPU lane-reduction +
-    1-lane relayout + re-broadcast chain (see triplet_kernel._lane_mean;
-    round-3 in-model sweep: 12.96 -> 11.07 ms/step)."""
-    H = x.shape[-1]
-    ones_h = jnp.full((H, H), 1.0 / H, jnp.float32)
-    return jnp.dot(x.reshape(-1, H), ones_h,
-                   preferred_element_type=jnp.float32).reshape(x.shape)
 
 
 def _build_z(dist, attrs, ztab_ref, TK):

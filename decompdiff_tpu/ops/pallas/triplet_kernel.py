@@ -29,6 +29,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from decompdiff_tpu.ops.pallas.common import lane_mean as _lane_mean
+
 ANG_PAD = 16  # 13-dim angular code padded to a lane-friendly 16
 
 
@@ -80,20 +82,6 @@ def _angular_encode_padded(x, angf):
     freq, xsel, sinsel, cossel = (angf[0:1], angf[1:2], angf[2:3], angf[3:4])
     s, c = _fast_sincos(xb * freq)
     return xb * xsel + s * sinsel + c * cossel
-
-
-def _lane_mean(x):
-    """Mean over the lane (last) dim, returned broadcast to ALL lanes, via
-    one [NN, H] @ ones[H, H]/H matmul on the MXU. A VPU lane reduction
-    materializes a 1-lane array and re-broadcasts it — two relayout passes
-    over a cubic array; the ones matmul skips both (round-3 in-model sweep:
-    12.96 -> 11.07 ms/step with this in the edge + triplet kernels). Runs
-    at the default MXU precision — the same noise class as every other
-    matmul in these kernels."""
-    H = x.shape[-1]
-    ones_h = jnp.full((H, H), 1.0 / H, jnp.float32)
-    return jnp.dot(x.reshape(-1, H), ones_h,
-                   preferred_element_type=jnp.float32).reshape(x.shape)
 
 
 def _layer_norm(x, scale, bias, eps=1e-5):

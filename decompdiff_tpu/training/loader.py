@@ -120,6 +120,11 @@ class BucketedLoader:
         return False
 
     def _bucket_loop(self, records, pb, lb, gb, pending):
+        # A corpus where EVERY record featurizes but is dropped as oversize
+        # would spin the infinite loader forever just like the all-failed
+        # epoch (_record_iter's raise) — detect a full epoch's worth of
+        # consecutive oversize drops and fail loudly instead.
+        oversize_run = 0
         for rec in records:
             if self._stop.is_set():
                 return
@@ -128,8 +133,16 @@ class BucketedLoader:
             except ValueError:
                 if self.drop_oversize:
                     self.skip_counts['oversize'] += 1
+                    oversize_run += 1
+                    if oversize_run >= max(1, len(self.indices)):
+                        raise RuntimeError(
+                            'BucketedLoader: every record in an epoch was '
+                            'dropped as oversize (bucket ladders too small '
+                            'for this corpus); skip counts: '
+                            f'{dict(self.skip_counts)}')
                     continue
                 raise
+            oversize_run = 0
             pending.setdefault(key, []).append(rec)
             if len(pending[key]) == self.batch_size:
                 batch = collate(pending.pop(key),
@@ -153,7 +166,16 @@ class BucketedLoader:
 
     def __iter__(self) -> Iterator:
         while True:
-            item = self._queue.get()
+            try:
+                item = self._queue.get(timeout=0.2)
+            except queue.Empty:
+                # After close() the producer exits WITHOUT enqueuing the None
+                # sentinel (it must not block on a queue nobody drains), so a
+                # blocked consumer has to notice the stop itself: drain
+                # whatever was already buffered, then end.
+                if self._stop.is_set():
+                    return
+                continue
             if item is None:
                 return
             if isinstance(item, Exception):

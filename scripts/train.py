@@ -156,11 +156,16 @@ def main():
                                     num_threads=num_workers)
 
         def gen():
-            for b in val_loader:
-                if cache_val:
-                    val_batches.append(b)
-                yield b
-            val_loader.close()
+            # finally (not a trailing close()) so an exception mid-validate
+            # — or the generator being abandoned — still stops the producer
+            # thread and releases the featurize pool
+            try:
+                for b in val_loader:
+                    if cache_val:
+                        val_batches.append(b)
+                    yield b
+            finally:
+                val_loader.close()
         return gen()
 
     def validate(it):
@@ -297,7 +302,17 @@ def main():
         logger.info('Terminating...')
     finally:
         train_loader.close()
-        join_ckpt()
+        if sys.exc_info()[1] is not None:
+            # an exception is already propagating: a failed async save must
+            # not replace it as the terminal error — log and let the real
+            # failure surface
+            try:
+                join_ckpt()
+            except Exception:
+                logger.exception(
+                    'async checkpoint save also failed during shutdown')
+        else:
+            join_ckpt()
 
 
 if __name__ == '__main__':

@@ -148,3 +148,66 @@ def test_bucketed_loader_close_mid_stream_joins():
     loader.close()
     loader._thread.join(timeout=10)
     assert not loader._thread.is_alive()
+
+
+def test_bucketed_loader_all_oversize_raises():
+    """A corpus where every record featurizes fine but exceeds the largest
+    bucket must raise instead of re-featurizing the whole corpus forever
+    with the consumer blocked on an empty queue (round-3 hardening — the
+    oversize-drop twin of the all-failed-epoch raise)."""
+    rng = np.random.default_rng(3)
+    records = [featurize_sample(_raw_sample(rng, 30, 9, 2)) for _ in range(4)]
+
+    class DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return records[i]
+
+    loader = BucketedLoader(DS(), range(4), batch_size=2, shuffle=False,
+                            infinite=True, protein_buckets=(8,),
+                            ligand_buckets=(4,), group_buckets=(1,))
+    with pytest.raises(RuntimeError, match='oversize'):
+        next(iter(loader))
+    loader.close()
+
+
+def test_bucketed_loader_close_unblocks_consumer():
+    """close() while a consumer is blocked in __iter__ must end that
+    consumer's iteration (the producer exits without the None sentinel, so
+    the consumer has to notice the stop itself)."""
+    import threading
+    import time
+
+    rng = np.random.default_rng(4)
+    records = [featurize_sample(_raw_sample(rng, 30, 9, 2)) for _ in range(4)]
+    gate = threading.Event()
+
+    class SlowDS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            if i >= 2:
+                gate.wait(timeout=5)   # starve the queue after 2 records
+                time.sleep(0.01)
+            return records[i % 4]
+
+    loader = BucketedLoader(SlowDS(), range(64), batch_size=8, shuffle=False,
+                            infinite=True, num_threads=1, prefetch=2)
+    done = threading.Event()
+
+    def consume():
+        for _ in loader:   # batch_size 8 > 2 ready records: blocks
+            pass
+        done.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    time.sleep(0.5)
+    assert not done.is_set()   # consumer is genuinely blocked
+    loader.close()
+    gate.set()
+    t.join(timeout=10)
+    assert done.is_set()
