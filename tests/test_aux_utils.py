@@ -1,0 +1,204 @@
+"""Coverage for the small aux modules: misc, profiling, eval_arms, and the
+two data-preparation CLIs (split_dataset, clean_crossdocked)."""
+
+import gzip
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_script(cmd):
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    r = subprocess.run([sys.executable] + cmd, cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, f'{cmd}\nSTDOUT:{r.stdout}\nSTDERR:{r.stderr}'
+    return r
+
+
+# ---------------------------------------------------------------- utils.misc
+
+def test_black_hole_absorbs_everything():
+    from decompdiff_tpu.utils.misc import BlackHole
+    bh = BlackHole()
+    bh.some_attr = 3          # swallowed
+    assert bh.anything is bh
+    assert bh('x', kw=1) is bh
+    assert bh.a.b.c(1)(2) is bh
+
+
+def test_get_new_log_dir_and_logger(tmp_path):
+    from decompdiff_tpu.utils.misc import get_logger, get_new_log_dir
+    d = get_new_log_dir(root=str(tmp_path), prefix='run', tag='t1')
+    assert os.path.isdir(d)
+    base = os.path.basename(d)
+    assert base.startswith('run_') and base.endswith('_t1')
+    logger = get_logger('test_aux_utils_logger', log_dir=d)
+    logger.info('hello')
+    # second call returns the same handler set (no duplicate handlers)
+    assert get_logger('test_aux_utils_logger') is logger
+    for h in logger.handlers:
+        h.flush()
+    assert 'hello' in open(os.path.join(d, 'log.txt')).read()
+
+
+def test_seed_all_and_count_parameters():
+    from decompdiff_tpu.utils.misc import count_parameters, seed_all
+    seed_all(7)
+    a = np.random.rand(3)
+    seed_all(7)
+    assert np.allclose(a, np.random.rand(3))
+    params = {'w': np.zeros((4, 5)), 'nested': {'b': np.zeros(5)}}
+    assert count_parameters(params) == 25
+
+
+# ----------------------------------------------------------- utils.profiling
+
+def test_timer_accumulates_phases():
+    import time
+
+    from decompdiff_tpu.utils.profiling import Timer
+    t = Timer()
+    for _ in range(3):
+        with t.time('phase'):
+            time.sleep(0.01)
+    s = t.summary()
+    assert s['phase']['count'] == 3
+    assert s['phase']['total_s'] >= 0.03
+    assert s['phase']['mean_ms'] >= 10
+
+
+def test_trace_noop_without_logdir():
+    from decompdiff_tpu.utils.profiling import trace
+    with trace(None):
+        pass
+    with trace(''):
+        pass
+
+
+# ------------------------------------------------------- evaluation.eval_arms
+
+def test_occupancy_from_alphas():
+    from decompdiff_tpu.evaluation.eval_arms import (
+        compute_occupancy, compute_occupancy_from_alphas)
+    # 3 alpha centers: two in contact with the ligand atom, one far away
+    centers = np.array([[0., 0., 0.], [1., 0., 0.], [50., 0., 0.]])
+    spaces = np.array([2.0, 3.0, 5.0])
+    lig = np.array([[0.5, 0., 0.]])
+    occ = compute_occupancy_from_alphas(centers, spaces,
+                                        pocket_nonpolar_space=10.0,
+                                        ligand_pos=lig)
+    assert occ == pytest.approx(0.5)   # (2 + 3) / 10
+
+    class Alpha:
+        def __init__(self, c, s):
+            self.centroid = np.asarray(c)
+            self.nonpolar_space = s
+
+    class Pocket:
+        alphas = [Alpha(c, s) for c, s in zip(centers, spaces)]
+        nonpolar_space = 10.0
+
+    assert compute_occupancy(Pocket(), lig) == pytest.approx(0.5)
+
+
+def test_polar_ratio_from_elements():
+    from decompdiff_tpu.evaluation.eval_arms import (
+        compute_polar_ratio_from_elements)
+    pocket = [6, 6, 7, 8]            # 2 polar of 4
+    ligand = [6, 16, 0, 0]           # zeros are padding; 1 polar of 2
+    pr, lr = compute_polar_ratio_from_elements(pocket, ligand)
+    assert pr == pytest.approx(0.5)
+    assert lr == pytest.approx(0.5)
+    assert compute_polar_ratio_from_elements([], []) == (0.0, 0.0)
+
+
+# ------------------------------------------------------ scripts/split_dataset
+
+def _tiny_store(path, n=10):
+    from decompdiff_tpu.data.store import DDStoreWriter
+    with DDStoreWriter(str(path)) as w:
+        for i in range(n):
+            w.append(f'complex_{i}',
+                     {'src_protein_filename': f'prot_{i % 3}.pdb', 'x': i})
+
+
+def test_split_dataset_random(tmp_path):
+    store = tmp_path / 's.ddstore'
+    _tiny_store(store)
+    run_script(['scripts/split_dataset.py', str(store),
+                '--test_frac', '0.3', '--seed', '1'])
+    split = pickle.load(open(tmp_path / 's_split.pkl', 'rb'))
+    assert len(split['test']) == 3
+    assert len(split['train']) == 7
+    assert not set(split['train']) & set(split['test'])
+    assert all(k.startswith('complex_') for k in split['train'])
+
+
+def test_split_dataset_unique_pocket(tmp_path):
+    store = tmp_path / 's.ddstore'
+    _tiny_store(store)           # only 3 distinct protein files
+    run_script(['scripts/split_dataset.py', str(store),
+                '--test_frac', '0.9', '--seed', '1',
+                '--unique_pocket_test'])
+    split = pickle.load(open(tmp_path / 's_split.pkl', 'rb'))
+    assert 1 <= len(split['test']) <= 3  # at most one per protein file
+
+
+def test_split_dataset_by_names(tmp_path):
+    store = tmp_path / 's.ddstore'
+    _tiny_store(store)
+    names = {'train': ['complex_0'], 'test': ['complex_1']}
+    np_path = tmp_path / 'names.pkl'
+    pickle.dump(names, open(np_path, 'wb'))
+    out = tmp_path / 'out.pkl'
+    run_script(['scripts/split_dataset.py', str(store), '--mode', 'by_names',
+                '--names', str(np_path), '--out', str(out)])
+    assert pickle.load(open(out, 'rb')) == names
+
+
+# -------------------------------------------------- scripts/clean_crossdocked
+
+def test_clean_crossdocked_extracts_selected_pose(tmp_path):
+    from decompdiff_tpu.data.mol import (MolRecord, mol_to_sdf_block,
+                                         parse_sdf_file)
+    # a 3-pose sdf.gz: poses differ by a translated carbon pair
+    poses = []
+    for p in range(3):
+        poses.append(MolRecord(
+            element=np.array([6, 6]),
+            pos=np.array([[0., 0., float(p)], [1.5, 0., float(p)]],
+                         np.float32),
+            bond_index=np.array([[0, 1], [1, 0]]),
+            bond_type=np.array([1, 1]),
+            aromatic=np.zeros(2, bool), name=f'pose{p}'))
+    src = tmp_path / 'src'
+    (src / 'POC').mkdir(parents=True)
+    with gzip.open(src / 'POC' / 'lig_tt_docked.sdf.gz', 'wt') as f:
+        f.write('$$$$\n'.join(mol_to_sdf_block(m) for m in poses) + '$$$$\n')
+
+    types = tmp_path / 'it0.types'
+    types.write_text(
+        # label affinity rmsd receptor ligand_pose
+        '1 -7.2 0.4 POC/rec.gninatypes POC/lig_tt_docked_1.sdf.gz\n'   # keep
+        '1 -6.0 2.5 POC/rec.gninatypes POC/lig_tt_docked_0.sdf.gz\n'   # rmsd
+        '1 -5.0 0.2 POC/rec.gninatypes POC/missing_3.sdf.gz\n'         # gone
+        'garbage line\n')
+
+    dest = tmp_path / 'dest'
+    r = run_script(['scripts/clean_crossdocked.py', str(types),
+                    '--source', str(src), '--dest', str(dest),
+                    '--rmsd_thr', '1.0'])
+    assert 'kept 1 poses (skipped 1)' in r.stdout
+    index = pickle.load(open(dest / 'index.pkl', 'rb'))
+    assert index == [{'protein': 'POC/rec.pdb',
+                      'ligand': 'POC/lig_tt_docked_1.sdf',
+                      'rmsd': 0.4}]
+    got = parse_sdf_file(str(dest / 'POC' / 'lig_tt_docked_1.sdf'))
+    assert np.allclose(got.pos[:, 2], 1.0)   # pose index 1, not 0 or 2
