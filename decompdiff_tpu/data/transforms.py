@@ -78,9 +78,16 @@ def compute_noise_dist(sample: dict, version: str) -> dict:
             assert len(scaffold_prior) == 1
             (num, iso_mu, iso_cov, _a, _b) = scaffold_prior[0]
             centers.append(np.asarray(iso_mu, np.float32).reshape(3))
-            s = float(np.sqrt(np.asarray(iso_cov).flat[0])) if num > 1 else 0.0
-            # ref_prior: min_std clamp for num>1, exact min_std for num==1;
-            # beta_prior: always clamp (ref :222-240) — numerically identical
+            # ref_prior: min_std clamp for num>1, exact min_std for num==1
+            # (ref :223-231); beta_prior: ALWAYS clamp(sqrt(cov), min) with
+            # no atom-count check (ref :232-240 — cov may be scalar or
+            # matrix) — a 1-atom scaffold with cov > min_std^2 keeps
+            # sqrt(cov) there, unlike ref_prior
+            if version == 'beta_prior':
+                s = float(np.sqrt(np.asarray(iso_cov).flat[0]))
+            else:
+                s = (float(np.sqrt(np.asarray(iso_cov).flat[0]))
+                     if num > 1 else 0.0)
             stds.append(np.full(3, max(s, MIN_PRIOR_STD), np.float32))
         else:  # no scaffold: protein centroid, min std (ref :241-243)
             centers.append(protein_pos.mean(0))

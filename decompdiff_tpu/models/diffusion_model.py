@@ -34,11 +34,16 @@ def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axis) -> jnp.ndarray:
     return (x * m).sum(axis) / jnp.maximum(m.sum(axis), 1.0)
 
 
-def center_by_protein(batch: ComplexBatch, ligand_pos):
+def center_by_protein(batch: ComplexBatch, ligand_pos, mode: str = 'protein'):
     """Translate each complex to its protein centroid; returns
     (centered batch protein pos, centered ligand pos, offset [B, 3]).
-    Parity: ref models/decompdiff.py:20-32 mode='protein'.
+    Parity: ref models/decompdiff.py:20-32 (mode 'protein' or 'none').
     """
+    if mode == 'none':
+        return batch.protein_pos, ligand_pos, jnp.zeros(
+            (batch.batch_size, 3), batch.protein_pos.dtype)
+    if mode != 'protein':
+        raise NotImplementedError(f'center_pos_mode={mode!r}')
     offset = masked_mean(batch.protein_pos,
                          batch.protein_mask[..., None], axis=1)  # [B, 3]
     protein_pos = batch.protein_pos - offset[:, None, :]
@@ -185,7 +190,8 @@ class DecompDiffModel:
 
         # 3. center & forward (ref :459-485)
         protein_pos_c, ligand_pos_perturbed_c, offset = center_by_protein(
-            batch, ligand_pos_perturbed)
+            batch, ligand_pos_perturbed,
+            self.config.get('center_pos_mode', 'protein'))
         ligand_pos_c = batch.ligand_pos - offset[:, None, :]
         batch_c = batch.replace(
             protein_pos=protein_pos_c,

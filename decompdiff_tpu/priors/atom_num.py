@@ -56,10 +56,15 @@ def _bin_idx(space_size: float, bounds) -> int:
 
 def sample_atom_num(space_size: float, config: Optional[dict] = None,
                     rng: Optional[np.random.Generator] = None) -> int:
-    """ref atom_num.py:27-33."""
+    """ref atom_num.py:27-33. NOTE the reference quirk: `_get_bin_idx`
+    always bins with the GLOBAL atom-config bounds (ref atom_num.py:19-25
+    reads CONFIG['bounds']), even when `config` overrides the bins — the
+    arm/scaffold tables are indexed by the global pocket-size bin, not by
+    their own bounds."""
     config = config or DEFAULT_CONFIG
     rng = rng or np.random.default_rng()
-    nums, probs = config['bins'][_bin_idx(space_size, config['bounds'])]
+    nums, probs = config['bins'][
+        _bin_idx(space_size, DEFAULT_CONFIG['bounds'])]
     probs = np.asarray(probs, np.float64)
     probs = probs / probs.sum()
     return int(rng.choice(nums, p=probs))

@@ -20,7 +20,6 @@ import numpy as np
 from decompdiff_tpu.data.collate import collate
 from decompdiff_tpu.data.transforms import (
     add_decomp_indicator, compute_noise_dist)
-from decompdiff_tpu.priors import atom_num as atom_num_mod
 from decompdiff_tpu.priors.atom_num import NumAtomsSampler, get_space_size, sample_atom_num
 
 # linear count~std fit used by beta_prior 'old' mode (ref :269-270)
@@ -106,6 +105,11 @@ def _sample_part_atom_counts(raw: dict, prior_mode: str, num_atoms_mode: str,
                 stds[-1] = sca_std
             else:
                 sca_count = 0
+                # 'stat' REPLACES the transform's std table with the sampled
+                # stds, scaffold row 0 when there is no scaffold prior (ref
+                # sample_diffusion_decomp.py:229-230,320-321) — the model's
+                # prior-node features see this table
+                stds[-1] = 0.0
         else:
             raise ValueError(num_atoms_mode)
         return arm_counts, sca_count, centers, stds

@@ -168,11 +168,22 @@ def build_sample_step(model: DecompDiffModel, cfg: SampleConfig, params,
         if cfg.mmff_callback is not None:
             in_window = jnp.logical_and(t < cfg.mmff_start_time,
                                         t >= cfg.mmff_end_time)
-            drift = jax.pure_callback(
-                cfg.mmff_callback,
-                jax.ShapeDtypeStruct(pos_mean.shape, pos_mean.dtype),
-                pos_mean, v_next, batch.ligand_mask)
-            pos_mean = pos_mean - jnp.where(in_window, 1.0, 0.0) * drift
+
+            # lax.cond gates the HOST call itself, not just its result: the
+            # reference only runs the RDKit/MMFF minimization inside
+            # [end_time, start_time) (ref models/decompdiff.py:669-672), and
+            # an unconditional pure_callback would cost a device->host sync +
+            # full reconstruction every one of the 1000 steps
+            def _mmff_drift(args):
+                pm, vn, lm = args
+                return jax.pure_callback(
+                    cfg.mmff_callback,
+                    jax.ShapeDtypeStruct(pm.shape, pm.dtype), pm, vn, lm)
+
+            drift = jax.lax.cond(in_window, _mmff_drift,
+                                 lambda args: jnp.zeros_like(args[0]),
+                                 (pos_mean, v_next, batch.ligand_mask))
+            pos_mean = pos_mean - drift
 
         # ancestral update, sigma_k-scaled noise (ref :679-684)
         stds = batch.atom_prior_stds()
@@ -202,7 +213,8 @@ def build_sample_step(model: DecompDiffModel, cfg: SampleConfig, params,
 @partial(jax.jit, static_argnums=(0, 1))
 def _sample_jit(model, cfg, params, rng, batch, init_pos, init_v, init_bond,
                 full_protein, noise_override=None):
-    protein_pos_c, init_pos_c, offset = center_by_protein(batch, init_pos)
+    protein_pos_c, init_pos_c, offset = center_by_protein(
+        batch, init_pos, cfg.center_pos_mode)
     batch_c = batch.replace(
         protein_pos=protein_pos_c,
         prior_centers=batch.prior_centers - offset[:, None, :])
@@ -249,6 +261,15 @@ def sample_diffusion(model: DecompDiffModel, cfg: SampleConfig, params, rng,
     Returns dict: final pos/v/bond [+ 'traj' stacked over steps, newest last].
     """
     if full_protein is None:
+        # the placeholder below is fully masked, which would make clash a
+        # silent no-op — reject the misconfiguration here, where the caller
+        # can still see it (the in-jit assert in _guidance_grad can never
+        # fire once the placeholder exists)
+        if any(d.get('type') == 'clash' for d in cfg.energy_drift):
+            raise ValueError(
+                'clash guidance needs full_protein (the un-cropped protein; '
+                'ref scripts/sample_diffusion_decomp.py:564-565) — without '
+                'it the clash energy would be identically zero')
         # placeholder so the jit signature stays static
         full_protein = FullProtein(
             pos=jnp.zeros((batch.batch_size, 1, 3)),

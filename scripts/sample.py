@@ -135,6 +135,8 @@ def main():
     sample_config = SampleConfig(
         num_steps=num_steps,
         save_traj=args.save_traj,
+        center_pos_mode=scfg.get('center_pos_mode',
+                                 model_cfg.get('center_pos_mode', 'protein')),
         energy_drift=energy_drift, **mmff_kwargs)
 
     full_protein = None
@@ -164,8 +166,17 @@ def main():
             raw, n, prior_mode, num_atoms_mode, rng_np,
             arms_natoms_config=arms_cfg, scaffold_natoms_config=sca_cfg,
             natoms_sampler=natoms_sampler)
+        # init from the model's exact terminal distributions: uniform, or
+        # the dataset marginals when the checkpoint was trained with
+        # prior_types (the reference driver passes the featurizer's
+        # atom/bond_types_prob here, ref sample_diffusion_decomp.py:306-316,
+        # 606-607 — uniform init would mismatch q(v_T))
         records = init_types_host(
-            rng_np, records, num_classes, model.bond_diff.num_classes)
+            rng_np, records, num_classes, model.bond_diff.num_classes,
+            atom_prior_probs=np.exp(np.asarray(
+                model.atom_diff.prior_logprobs, np.float64)),
+            bond_prior_probs=np.exp(np.asarray(
+                model.bond_diff.prior_logprobs, np.float64)))
         batch = collate(records)
         # sampling is embarrassingly parallel across pockets/samples: shard
         # the batch over all devices (SURVEY.md §5 distributed plan)

@@ -54,23 +54,26 @@ def test_mmff_callback_window_gating():
     base = _run(model, batch, params,
                 SampleConfig(num_steps=10, save_traj=False))
 
-    # empty window [0, 0): callback runs but its drift is gated to zero
+    # empty window [0, 0): lax.cond gates the HOST call itself — the
+    # callback must never fire (ref models/decompdiff.py:669-672 only
+    # computes the drift inside the window)
     cb_empty = RecordingCallback()
     out_empty = _run(model, batch, params,
                      SampleConfig(num_steps=10, save_traj=False,
                                   mmff_callback=cb_empty,
                                   mmff_start_time=0, mmff_end_time=0))
-    assert len(cb_empty.calls) == 10  # invoked every step of the scan
+    assert len(cb_empty.calls) == 0
     np.testing.assert_array_equal(np.asarray(out_empty['pos']),
                                   np.asarray(base['pos']))
 
-    # active window [2, 5): the constant drift must change the result
+    # active window [2, 5): fires exactly at t in {4, 3, 2} and the constant
+    # drift must change the result
     cb_act = RecordingCallback()
     out_act = _run(model, batch, params,
                    SampleConfig(num_steps=10, save_traj=False,
                                 mmff_callback=cb_act,
                                 mmff_start_time=5, mmff_end_time=2))
-    assert len(cb_act.calls) == 10
+    assert len(cb_act.calls) == 3
     diff = np.abs(np.asarray(out_act['pos']) - np.asarray(base['pos']))
     assert diff.max() > 1.0
 

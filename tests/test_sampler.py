@@ -241,3 +241,48 @@ def test_sampler_data_parallel_matches_unsharded():
                                   np.asarray(out_ref['v']))
     np.testing.assert_array_equal(np.asarray(out_dp['bond']),
                                   np.asarray(out_ref['bond']))
+
+
+def test_clash_without_full_protein_raises(setup):
+    """Clash guidance with no full_protein must fail loudly: the internal
+    fully-masked placeholder would make the clash energy identically zero
+    (silent no-op) — round-3 review finding."""
+    model, batch, params = setup
+    cfg = SampleConfig(num_steps=2, save_traj=False,
+                       energy_drift=({'type': 'clash', 'sigma': 2.0,
+                                      'gamma': 4.0},))
+    init_pos, init_v, init_b = _init_state(model, batch)
+    with pytest.raises(ValueError, match='full_protein'):
+        sample_diffusion(model, cfg, params, jax.random.PRNGKey(1), batch,
+                         init_pos, init_v, init_b)
+
+
+def test_center_pos_mode_none_translation_equivalence(setup):
+    """center_pos_mode='none' (ref models/decompdiff.py:20-24) must be
+    honored: since the denoiser is translation-equivariant, sampling an
+    already-protein-centered batch with mode='none' must match mode='protein'
+    on the same batch."""
+    model, batch, params = setup
+    # center the batch at its protein centroid so both modes see the same
+    # effective coordinates
+    m = np.asarray(batch.protein_mask)[..., None]
+    centroid = ((np.asarray(batch.protein_pos) * m).sum(1)
+                / m.sum(1))[:, None, :]
+    centered = batch.replace(
+        protein_pos=jnp.asarray(np.asarray(batch.protein_pos) - centroid),
+        prior_centers=jnp.asarray(
+            np.asarray(batch.prior_centers) - centroid))
+    init_pos, init_v, init_b = _init_state(model, centered)
+
+    out_p = sample_diffusion(
+        model, SampleConfig(num_steps=10, center_pos_mode='protein'),
+        params, jax.random.PRNGKey(5), centered, init_pos, init_v, init_b)
+    out_n = sample_diffusion(
+        model, SampleConfig(num_steps=10, center_pos_mode='none'),
+        params, jax.random.PRNGKey(5), centered, init_pos, init_v, init_b)
+
+    np.testing.assert_allclose(np.asarray(out_n['pos']),
+                               np.asarray(out_p['pos']),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_n['v']),
+                                  np.asarray(out_p['v']))

@@ -104,3 +104,69 @@ def test_atom_num_tables():
     assert size > 0
     n = sample_atom_num(size, cfg, rng)
     assert isinstance(n, int) and n > 0
+
+
+def test_sample_atom_num_bins_with_global_bounds():
+    """The reference quirk (ref utils/evaluation/atom_num.py:19-31):
+    _get_bin_idx always bins with the GLOBAL atom-config bounds, even for
+    the arm/scaffold override configs — binning with the override's own
+    bounds would push every whole-pocket space size (~26-35 A) past the
+    scaffold table's 10.4 A top bound into the last bin."""
+    from decompdiff_tpu.priors.atom_num import DEFAULT_CONFIG
+    gb = DEFAULT_CONFIG['bounds']
+    # override config with distinct singleton bins AND decoy bounds that
+    # would bin everything into the last bin if (wrongly) used
+    cfg = {'bounds': [0.1] * len(gb),
+           'bins': [([100 + i], [1.0]) for i in range(len(gb) + 1)]}
+    rng = np.random.default_rng(0)
+    # below the global lower bound -> bin 0
+    assert sample_atom_num(gb[0] - 1.0, cfg, rng) == 100
+    # between global bounds 3 and 4 -> bin 4
+    mid = 0.5 * (gb[3] + gb[4])
+    assert sample_atom_num(mid, cfg, rng) == 104
+    # above the global top bound -> last bin
+    assert sample_atom_num(gb[-1] + 1.0, cfg, rng) == 100 + len(gb)
+
+
+def test_scaffold_std_version_split(raw):
+    """A 1-atom scaffold prior with cov > min_std^2: ref_prior pins the std
+    to min_std (ref utils/transforms.py:227-229) while beta_prior always
+    uses clamp(sqrt(cov), min_std) with no atom-count check (ref :232-240)."""
+    from decompdiff_tpu.data.transforms import compute_noise_dist
+    mu = np.zeros(3, np.float32)
+    raw = dict(raw)
+    raw['scaffold_prior'] = [(1, mu, np.eye(3) * 1.44, None, None)]
+    nd_ref = compute_noise_dist(raw, 'ref_prior')
+    nd_beta = compute_noise_dist(raw, 'beta_prior')
+    np.testing.assert_allclose(nd_ref['stds'][-1], 0.6)
+    np.testing.assert_allclose(nd_beta['stds'][-1], 1.2)
+    # and a scalar covariance (beta priors store scalars, ref :236-239)
+    raw['scaffold_prior'] = [(1, mu, np.float64(1.44), None, None)]
+    nd_beta2 = compute_noise_dist(raw, 'beta_prior')
+    np.testing.assert_allclose(nd_beta2['stds'][-1], 1.2)
+
+
+def test_stat_mode_without_scaffold_prior_zero_std(raw):
+    """beta_prior 'stat' REPLACES the transform's std table with the sampled
+    stds; the scaffold row is 0 when there is no scaffold prior (ref
+    sample_diffusion_decomp.py:229-230,320-321)."""
+    from decompdiff_tpu.sampling.init import _sample_part_atom_counts
+
+    class FakeSampler:
+        def sample_arm_natoms(self, centers, protein_pos, rng=None):
+            n = len(centers)
+            return [3] * n, np.full((n, 3), 0.7, np.float32)
+
+        def sample_sca_natoms(self, *a, **k):
+            raise AssertionError('must not be called without scaffold prior')
+
+    raw = dict(raw)
+    raw['scaffold_prior'] = []
+    raw['num_scaffold'] = 0
+    rng = np.random.default_rng(1)
+    arm_counts, sca_count, centers, stds = _sample_part_atom_counts(
+        raw, 'beta_prior', 'stat', rng, natoms_sampler=FakeSampler())
+    assert sca_count == 0
+    assert arm_counts == [3, 3]
+    np.testing.assert_allclose(stds[:2], 0.7)
+    np.testing.assert_allclose(stds[-1], 0.0)
