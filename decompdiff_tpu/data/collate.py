@@ -50,6 +50,16 @@ def collate(records: List[dict],
         max(len(r['ligand_pos']) for r in records), ligand_buckets)
     A = na_override or bucketize(
         max(len(r['prior_centers']) for r in records), group_buckets)
+    # the native pad routines memcpy without bounds checks — an override
+    # smaller than a record would be silent heap corruption, not an error
+    for name, cap, key in (('np_override', Np, 'protein_pos'),
+                           ('nl_override', Nl, 'ligand_pos'),
+                           ('na_override', A, 'prior_centers')):
+        worst = max(len(r[key]) for r in records)
+        if worst > cap:
+            raise ValueError(
+                f'collate: {name}={cap} is smaller than the largest '
+                f'record ({key} has {worst} rows)')
 
     from decompdiff_tpu import native
 

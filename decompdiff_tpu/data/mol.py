@@ -1,11 +1,13 @@
 """Pure-python SDF (MOL V2000) parsing/writing + a light molecule record.
 
 Role parity with ref utils/data.py:281-358 (`parse_sdf_file`,
-`process_from_mol`), but with no hard RDKit dependency: when RDKit is
-available we defer to it (exact parity for hybridization and the 8-family
-ChemicalFeatures matrix); otherwise we parse the V2000 block directly and
-derive the aromatic flag from type-4 bonds — sufficient for the released
-`basic` and `add_aromatic` featurization modes.
+`process_from_mol`), with no RDKit dependency: the V2000 block is parsed
+directly and the aromatic flag derived from type-4 bonds — sufficient for
+the released `basic` and `add_aromatic` featurization modes. The parser
+does NOT compute hybridization (MolRecord.hybridization stays None); the
+`full` atom mode needs it, and it arrives through the reference-data
+importers instead (`data/dataset.import_reference_lmdb` carries the meta
+pickle's hybridization labels through to the record).
 """
 
 from __future__ import annotations
@@ -17,12 +19,6 @@ from typing import List, Optional
 import numpy as np
 
 from decompdiff_tpu.constants import ATOMIC_NUM_TO_SYMBOL, ELEMENT_SYMBOLS
-
-try:  # optional exact-parity path
-    from rdkit import Chem  # noqa: F401
-    HAS_RDKIT = True
-except Exception:
-    HAS_RDKIT = False
 
 
 @dataclass

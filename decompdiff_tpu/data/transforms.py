@@ -180,11 +180,16 @@ def dense_bond_matrix(num_atoms: int, bond_index, bond_type) -> np.ndarray:
     return mat
 
 
-def random_rotation(rng: np.random.Generator, *pos_arrays):
-    """QR-orthogonal global rotation (ref :392-403)."""
+def random_rotation_matrix(rng: np.random.Generator) -> np.ndarray:
+    """QR-orthogonal rotation matrix (ref :392-403)."""
     M = rng.normal(size=(3, 3))
     Q, _ = np.linalg.qr(M)
-    Q = Q.astype(np.float32)
+    return Q.astype(np.float32)
+
+
+def random_rotation(rng: np.random.Generator, *pos_arrays):
+    """QR-orthogonal global rotation (ref :392-403)."""
+    Q = random_rotation_matrix(rng)
     return tuple(np.asarray(p, np.float32) @ Q for p in pos_arrays)
 
 
@@ -207,8 +212,31 @@ def featurize_sample(sample: dict, prior_mode: str = 'ref_prior',
     if random_rot:
         rng = rng or np.random.default_rng()
         sample = dict(sample)
-        sample['protein_pos'], sample['ligand_pos'] = random_rotation(
-            rng, sample['protein_pos'], sample['ligand_pos'])
+        Q = random_rotation_matrix(rng)
+        sample['protein_pos'] = np.asarray(
+            sample['protein_pos'], np.float32) @ Q
+        sample['ligand_pos'] = np.asarray(sample['ligand_pos'], np.float32) @ Q
+        # the stored arm/scaffold prior anchors (iso/aniso mu, aniso cov)
+        # must rotate WITH the atoms, or the anchored forward process pulls
+        # rotated atoms toward un-rotated centers. The reference has this
+        # bug latently (ComputeLigandAtomNoiseDist runs before
+        # RandomRotation, ref train_diffusion_decomp.py:98-105) but ships
+        # random_rot: False; we fix it since the knob is exposed here.
+        # Isotropic covs are rotation-invariant; aniso covs get Q^T C Q.
+        for key in ('arms_prior', 'scaffold_prior'):
+            if key in sample and len(sample[key]):
+                rotated = []
+                for (num, iso_mu, iso_cov, aniso_mu, aniso_cov) in sample[key]:
+                    iso_mu = np.asarray(iso_mu, np.float32).reshape(3) @ Q
+                    if aniso_mu is not None:
+                        aniso_mu = np.asarray(
+                            aniso_mu, np.float32).reshape(3) @ Q
+                    if aniso_cov is not None and np.ndim(aniso_cov) == 2:
+                        aniso_cov = Q.T @ np.asarray(
+                            aniso_cov, np.float32) @ Q
+                    rotated.append((num, iso_mu, iso_cov, aniso_mu,
+                                    aniso_cov))
+                sample[key] = rotated
 
     protein_feat = featurize_protein_atom(
         sample['protein_element'], sample['protein_atom_to_aa_type'],

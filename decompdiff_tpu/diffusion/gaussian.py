@@ -90,17 +90,23 @@ class GaussianDiffusion:
         return mean + nonzero * jnp.exp(0.5 * logvar) * eps * stds
 
     # -- losses ----------------------------------------------------------------
-    def pos_mse_loss(self, pred, target, stds, atom_mask):
+    def pos_mse_per_graph(self, pred, target, stds, atom_mask):
         """std-normalized per-graph-mean MSE (ref models/decompdiff.py:530-531).
 
         pred/target [B, Nl, 3]; stds [B, Nl, 3]; atom_mask [B, Nl] bool.
-        Returns scalar: mean over graphs of (per-graph mean over atoms of
-        sum_xyz((pred-target)^2 / sigma^2)).
+        Returns [B]: per-graph mean over atoms of
+        sum_xyz((pred-target)^2 / sigma^2). The per-graph values feed the
+        importance-sampling Lt history; `pos_mse_loss` is their mean. This
+        is the ONLY implementation of the formula — the model's
+        get_diffusion_loss calls it.
         """
         per_atom = (((pred - target) ** 2) / (stds ** 2)).sum(-1)
         m = atom_mask.astype(per_atom.dtype)
-        per_graph = (per_atom * m).sum(-1) / jnp.maximum(m.sum(-1), 1.0)
-        return per_graph.mean()
+        return (per_atom * m).sum(-1) / jnp.maximum(m.sum(-1), 1.0)
+
+    def pos_mse_loss(self, pred, target, stds, atom_mask):
+        """Scalar mean over graphs of `pos_mse_per_graph`."""
+        return self.pos_mse_per_graph(pred, target, stds, atom_mask).mean()
 
 
 def normal_kl(mean1, logvar1, mean2, logvar2):

@@ -97,8 +97,13 @@ class DecompDiffModel:
                num_bond_classes: Optional[int] = None) -> "DecompDiffModel":
         cfg = dict(config)
         num_bond_classes = num_bond_classes or cfg.get('num_bond_classes', 5)
+        # the reference only has atom marginals for the 8-class 'basic'
+        # vocabulary and falls back to a uniform terminal prior for the
+        # other atom modes (ref utils/transforms.py:141-145 sets
+        # atom_types_prob=None unless mode=='basic')
         prior_atom = (ATOM_TYPES_PROB_BASIC
-                      if cfg.get('prior_types', False) else None)
+                      if cfg.get('prior_types', False)
+                      and num_classes == len(ATOM_TYPES_PROB_BASIC) else None)
         prior_bond = (BOND_TYPES_PROB
                       if cfg.get('prior_types', False) else None)
         denoiser = DecompDenoiser(
@@ -207,8 +212,8 @@ class DecompDiffModel:
         else:  # 'noise'
             target = pos_noise
             pred_pos = pred_pos - ligand_pos_perturbed_c
-        per_atom = (((pred_pos - target) ** 2) / (stds ** 2)).sum(-1)
-        per_graph_pos = masked_mean(per_atom, batch.ligand_mask, (1,))
+        per_graph_pos = self.pos_diff.pos_mse_per_graph(
+            pred_pos, target, stds, batch.ligand_mask)
         loss_pos = per_graph_pos.mean()
 
         # atom types: categorical KL (ref :501-509)

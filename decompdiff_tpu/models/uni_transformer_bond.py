@@ -273,7 +273,16 @@ class NodeEdgeAttention(nn.Module):
 class NodeBondAttention(nn.Module):
     """Scalar-feature attention over the dense [B, Nl, Nl] bond graph; the
     bond hidden state is the edge feature (ref NodeUpdateLayer with
-    edge_feat_dim=hidden, uni_transformer_edge.py:239-243,273)."""
+    edge_feat_dim=hidden, uni_transformer_edge.py:239-243,273).
+
+    The reference runs this layer on the FULL context: bond edges only
+    connect ligand atoms, so the scatter_sum message is zero on protein and
+    prior rows, but the out_fc MLP is applied to every row afterwards
+    (`node_output([0, h_row])` != 0; ref uni_transformer_edge.py:70-71,273).
+    Pass `h_full`/`num_protein` to reproduce that: the ligand message is
+    scattered into the full context BEFORE node_output and the return value
+    is full-size [B, N, H]. Without `h_full` (kernel parity tests) the
+    layer stays ligand-only."""
     hidden_dim: int
     n_heads: int
     out_fc: bool = True
@@ -282,7 +291,8 @@ class NodeBondAttention(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, h_lig, h_bond, bond_mask):
+    def __call__(self, h_lig, h_bond, bond_mask, h_full=None,
+                 num_protein: int = 0):
         # h_bond [B, Nl(i), Nl(j), H]; dst = i, src = j
         H = self.hidden_dim
         pk = _BondStreamParams(self, 'hk', H, H)
@@ -309,6 +319,14 @@ class NodeBondAttention(nn.Module):
             alpha = masked_softmax(logits, bond_mask[..., None], axis=2)
             out = (alpha[..., None] * vh.astype(alpha.dtype)).sum(axis=2)
             out = out.reshape(h_lig.shape[:-1] + (H,)).astype(h_lig.dtype)
+        if h_full is not None:
+            Nl = h_lig.shape[1]
+            out = jnp.zeros_like(h_full).at[
+                :, num_protein:num_protein + Nl].set(out)
+            if self.out_fc:
+                out = MLP(H, H, dtype=self.dtype, name='node_output')(
+                    jnp.concatenate([out, h_full], axis=-1))
+            return out
         if self.out_fc:
             out = MLP(H, H, dtype=self.dtype, name='node_output')(
                 jnp.concatenate([out, h_lig], axis=-1))
@@ -615,19 +633,17 @@ class AttentionLayerBond(nn.Module):
         # ligand bond streams
         h_lig = h[:, Np:Np + Nl]
         x_lig = x[:, Np:Np + Nl]
-        new_h_bond_msg = NodeBondAttention(
+        new_h_bond_full = NodeBondAttention(
             self.hidden_dim, self.n_heads, out_fc=self.x2h_out_fc,
             dtype=self.dtype, use_pallas=self.use_pallas,
-            name='node_layer_with_bond')(h_lig, h_bond, bond_mask)
+            name='node_layer_with_bond')(h_lig, h_bond, bond_mask,
+                                         h_full=h, num_protein=Np)
         new_h_bond = h_bond + BondTripletAttention(
             self.hidden_dim, self.n_heads, include_h_node=self.include_h_node,
             dtype=self.dtype, use_pallas=self.use_pallas,
             pallas_bf16=self.pallas_bf16, i_block=self.triplet_i_block,
             name='bond_layer')(h_lig, h_bond, x_lig, bond_mask)
 
-        # scatter the bond-stream node update into the full context
-        new_h_bond_full = jnp.zeros_like(new_h_edge).at[:, Np:Np + Nl].set(
-            new_h_bond_msg)
         new_h = h + nn.Dense(self.hidden_dim, dtype=self.dtype, name='lin_node')(
             new_h_edge + new_h_bond_full)
 

@@ -196,3 +196,63 @@ def test_make_raw_record(tmp_path):
     # golden prior center = arm fragment centroid
     np.testing.assert_allclose(rec['arms_prior'][0][1],
                                rec['ligand_pos'][:3].mean(0), rtol=1e-5)
+
+
+def test_collate_override_too_small_raises():
+    """Overrides below a record's size must raise, not memcpy past the
+    native pad buffers (round-3 review: ddnative pad_* have no bounds
+    check, so a short nl_override was silent heap corruption)."""
+    import pytest
+    from decompdiff_tpu.data.collate import collate
+    rng = np.random.default_rng(5)
+    recs = [featurize_sample(_raw_sample(rng, 30, 9, 2), 'ref_prior')]
+    with pytest.raises(ValueError, match='nl_override'):
+        collate(recs, nl_override=4)
+    with pytest.raises(ValueError, match='np_override'):
+        collate(recs, np_override=16, nl_override=16, na_override=4)
+
+
+def test_random_rot_rotates_prior_anchors():
+    """random_rot must rotate the stored arm/scaffold prior mus with the
+    atoms (round-3 review): the anchored forward process otherwise pulls
+    rotated atoms toward un-rotated centers. Check that each prior center
+    keeps its distance to the arm's atom centroid across the rotation."""
+    from decompdiff_tpu.data.transforms import compute_noise_dist
+
+    def center_dists(rec_sample):
+        nd = compute_noise_dist(rec_sample, 'ref_prior')
+        atom_mask = np.asarray(rec_sample['ligand_atom_mask'])
+        lig = np.asarray(rec_sample['ligand_pos'])
+        out = []
+        for arm in range(int(rec_sample['num_arms'])):
+            c = lig[atom_mask == arm].mean(0)
+            out.append(np.linalg.norm(nd['centers'][arm] - c))
+        out.append(np.linalg.norm(nd['centers'][-1]
+                                  - lig[atom_mask == -1].mean(0)))
+        return np.array(out)
+
+    raw = _raw_sample(np.random.default_rng(8), 30, 12, 2)
+    before = center_dists(raw)
+
+    # featurize_sample with random_rot mutates a COPY; recover the rotated
+    # sample by reapplying the same seed's rotation path
+    from decompdiff_tpu.data.transforms import random_rotation_matrix
+    rng = np.random.default_rng(123)
+    rec = featurize_sample(dict(raw), 'ref_prior', random_rot=True,
+                           rng=np.random.default_rng(123))
+    Q = random_rotation_matrix(rng)
+    rotated = dict(raw)
+    rotated['protein_pos'] = raw['protein_pos'] @ Q
+    rotated['ligand_pos'] = raw['ligand_pos'] @ Q
+    # the featurized record's prior centers must match compute_noise_dist on
+    # a consistently-rotated sample: distance to each part's atom centroid
+    # is rotation-invariant ONLY if the priors rotated with the atoms
+    atom_mask = np.asarray(raw['ligand_atom_mask'])
+    lig_rot = rotated['ligand_pos']
+    after = []
+    for arm in range(int(raw['num_arms'])):
+        c = lig_rot[atom_mask == arm].mean(0)
+        after.append(np.linalg.norm(rec['prior_centers'][arm] - c))
+    after.append(np.linalg.norm(rec['prior_centers'][-1]
+                                - lig_rot[atom_mask == -1].mean(0)))
+    np.testing.assert_allclose(np.array(after), before, rtol=1e-4, atol=1e-4)

@@ -157,3 +157,38 @@ def test_loss_decreases_with_identity_supervision(setup):
     assert np.isfinite(float(out['losses']['pos']))
     assert np.isfinite(float(out['losses']['v']))
     assert np.isfinite(float(out['losses']['bond']))
+
+
+def test_prior_types_non_basic_mode_uses_uniform_prior():
+    """prior_types=True with a non-8-class vocabulary must fall back to a
+    uniform terminal prior, like the reference (utils/transforms.py:141-145
+    only has marginals for mode=='basic'); round-3 review: the 8-class
+    marginals were selected unconditionally and broke 13/23-class configs
+    at trace time."""
+    import numpy as np
+
+    from decompdiff_tpu.models.diffusion_model import DecompDiffModel
+    from decompdiff_tpu.utils.testing import (random_complex_batch,
+                                              tiny_model_config)
+
+    cfg = tiny_model_config(prior_types=True)
+    model13 = DecompDiffModel.create(cfg, num_classes=13)
+    lp = np.asarray(model13.atom_diff.prior_logprobs)
+    assert lp.shape == (13,)
+    np.testing.assert_allclose(lp, -np.log(13), rtol=1e-6)
+
+    # 8-class keeps the marginals (class 0 prob 0 -> large negative logprob)
+    model8 = DecompDiffModel.create(cfg, num_classes=8)
+    lp8 = np.asarray(model8.atom_diff.prior_logprobs)
+    assert lp8.shape == (8,)
+    assert lp8[0] < -10
+    assert abs(float(np.exp(lp8).sum()) - 1.0) < 1e-3
+
+    # and the 13-class model actually traces through a loss
+    import jax
+    batch = random_complex_batch(np.random.default_rng(0), batch_size=1,
+                                 num_protein=16, num_ligand=6)
+    batch = batch.replace(ligand_v=(batch.ligand_v % 13))
+    params = model13.init_params(jax.random.PRNGKey(0), batch)
+    out = model13.get_diffusion_loss(params, jax.random.PRNGKey(1), batch)
+    assert np.isfinite(float(out['losses']['v']))

@@ -243,3 +243,32 @@ def test_loss_parity(setup, tval):
         np.testing.assert_allclose(
             float(out['losses'][key]), float(oloss[key]),
             rtol=5e-4, atol=5e-4, err_msg=f'loss {key} (t={tval})')
+
+
+def test_forward_parity_x2h_out_fc_full_context():
+    """x2h_out_fc=True: the reference applies the bond-stream node update's
+    out_fc MLP to the FULL context (bond edges only reach ligand atoms, so
+    the scatter message is zero on protein rows, but node_output([0, h_row])
+    is not; ref uni_transformer_edge.py:70-71,273). Regression for the
+    ligand-only-slice bug (round-3 review): every other parity test uses
+    x2h_out_fc=False (the released-config value)."""
+    cfg = _config(bond_net_type='lin', x2h_out_fc=True)
+    rng = np.random.default_rng(7)
+    graphs = _ragged_fixture(rng)
+    ragged = _ragged_arrays(graphs)
+    batch = _padded_batch(graphs)
+    sd = oracle.make_reference_state_dict(
+        np.random.default_rng(29), cfg, NUM_CLASSES, NUM_BOND,
+        PROTEIN_FEAT, NUM_CLASSES + 2)
+    params = convert_reference_state_dict(sd, cfg)
+    params = jax.tree.map(jnp.asarray, params)
+    model = DecompDiffModel.create(cfg, num_classes=NUM_CLASSES)
+    t = jnp.asarray([3, 7])
+    preds = model.apply(params, batch, batch.ligand_pos, batch.ligand_v,
+                        batch.bond_type, t)
+    opreds = oracle.decomp_forward(
+        sd, cfg, NUM_CLASSES, NUM_BOND,
+        ragged['protein_pos'], ragged['protein_feat'], ragged['batch_protein'],
+        ragged['ligand_pos'], ragged['ligand_v'], ragged['aux'],
+        ragged['batch_ligand'], ragged['bond_index'], ragged['bond_type'])
+    _compare_preds(preds, opreds, ragged, graphs)
