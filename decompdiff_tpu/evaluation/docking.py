@@ -42,6 +42,18 @@ def _mol_positions(mol) -> np.ndarray:
     return np.asarray(mol.GetConformer(0).GetPositions(), np.float64)
 
 
+def _mol_positions_with_hs(mol) -> np.ndarray:
+    """Coordinates INCLUDING explicit hydrogens for the search-box geometry:
+    both reference tasks AddHs(addCoords=True) before reading positions
+    (ref docking_vina.py:183-196, docking.py:87-105), so the box extends
+    over the H shell. MolRecords (RDKit-free) stay heavy-atom."""
+    if hasattr(mol, 'bond_index'):
+        return np.asarray(mol.pos, np.float64)
+    from rdkit import Chem
+    m = Chem.AddHs(mol, addCoords=True)
+    return np.asarray(m.GetConformer(0).GetPositions(), np.float64)
+
+
 def _write_ligand_sdf(mol, path: str, add_hs: bool = True):
     """Write the generated ligand to SDF (RDKit path adds explicit Hs with
     coordinates, ref docking_vina.py:183-190; MolRecord path writes as-is)."""
@@ -82,8 +94,11 @@ class PrepLig:
         from rdkit import Chem
         from rdkit.Chem import AllChem
         if mol_format == 'smi':
-            self.ob_mol = Chem.MolFromSmiles(input_mol)
-            AllChem.EmbedMolecule(Chem.AddHs(self.ob_mol))
+            # keep the embedded AddHs mol — embedding a temporary copy
+            # would leave self.ob_mol with no conformer for meeko
+            mol = Chem.AddHs(Chem.MolFromSmiles(input_mol))
+            AllChem.EmbedMolecule(mol)
+            self.ob_mol = mol
         elif mol_format == 'sdf':
             self.ob_mol = Chem.MolFromMolFile(input_mol, removeHs=False)
         else:
@@ -183,9 +198,10 @@ class VinaDockingTask:
         self.mol = mol
         self.protein_path = protein_path
         self.tmp_dir = tmp_dir
-        # box geometry honored exactly as the reference (:193-202)
+        # box geometry honored exactly as the reference (:193-202),
+        # including the explicit-H extent (ref AddHs before reading pos)
         self.center, self.box_size = compute_box(
-            _mol_positions(mol), center, size_factor, buffer)
+            _mol_positions_with_hs(mol), center, size_factor, buffer)
 
     @classmethod
     def from_generated_mol(cls, mol, ligand_filename: str, protein_root: str,
@@ -197,6 +213,32 @@ class VinaDockingTask:
             os.path.basename(ligand_filename)[:10] + '.pdb')
         return cls(mol, os.path.join(protein_root, protein_fn), **kwargs)
 
+    def _receptor_pdbqt(self) -> str:
+        """Prepare (or reuse) the receptor PDBQT. The reference caches the
+        .pqr/.pdbqt beside the protein file and skips re-prep when present
+        (ref docking_vina.py:209-221) — re-running pdb2pqr +
+        prepare_receptor4 per molecule and per mode costs tens of seconds
+        each and would dominate a 100-sample evaluation. Falls back to a
+        path-keyed cache under tmp_dir when the protein dir is read-only."""
+        base = self.protein_path[:-4]
+        if not os.access(os.path.dirname(self.protein_path) or '.', os.W_OK):
+            import hashlib
+            h = hashlib.sha1(
+                os.path.abspath(self.protein_path).encode()).hexdigest()[:16]
+            cache = os.path.join(self.tmp_dir, 'ddtpu_receptor_cache')
+            os.makedirs(cache, exist_ok=True)
+            base = os.path.join(cache, h)
+        dry_pdb, pqr, pdbqt = base + '_dry.pdb', base + '.pqr', base + '.pdbqt'
+        if not os.path.exists(pdbqt):
+            prot = PrepProt(self.protein_path)
+            prot.del_water(dry_pdb)
+            if not os.path.exists(pqr):
+                prot.addH(pqr)
+            else:
+                prot.prot_pqr = pqr
+            prot.get_pdbqt(pdbqt)
+        return pdbqt
+
     def run(self, mode: str = 'dock', exhaustiveness: int = 8):
         with tempfile.TemporaryDirectory(dir=self.tmp_dir) as td:
             lig_sdf = os.path.join(td, 'lig.sdf')
@@ -204,11 +246,7 @@ class VinaDockingTask:
             lig_pdbqt = os.path.join(td, 'lig.pdbqt')
             PrepLig(lig_sdf, 'sdf').get_pdbqt(lig_pdbqt)
 
-            prot = PrepProt(self.protein_path)
-            prot.del_water(os.path.join(td, 'dry.pdb'))
-            prot.addH(os.path.join(td, 'prot.pqr'))
-            prot_pdbqt = os.path.join(td, 'prot.pdbqt')
-            prot.get_pdbqt(prot_pdbqt)
+            prot_pdbqt = self._receptor_pdbqt()
 
             dock = VinaDock(lig_pdbqt, prot_pdbqt)
             dock.pocket_center, dock.box_size = self.center, self.box_size
@@ -279,7 +317,7 @@ class QVinaDockingTask:
         self.receptor_id = self.task_id + '_receptor'
         self.ligand_id = self.task_id + '_ligand'
         self.center, (self.size_x, self.size_y, self.size_z) = compute_box(
-            _mol_positions(mol), center, size_factor, buffer)
+            _mol_positions_with_hs(mol), center, size_factor, buffer)
         self.docked_sdf_path = os.path.join(
             self.tmp_dir, f'{self.ligand_id}_out.sdf')
 

@@ -128,46 +128,22 @@ def obey_lipinski(mol) -> int:
 
 
 def get_ring_sizes(mol) -> Counter:
-    """Histogram of ring sizes (ref scoring_func.py:86-88). Works on RDKit
-    mols (SSSR) and on MolRecords (fundamental-cycle basis from a spanning
-    forest — equivalent for the small, mostly-planar rings of drug-like
-    molecules)."""
+    """Histogram of ring sizes (ref scoring_func.py:81-83, SSSR). Works on
+    RDKit mols (SSSR) and on MolRecords via the BFS smallest-ring-per-bond
+    routine shared with the liGAN reconstructor. A spanning-tree fundamental
+    cycle basis is NOT equivalent: on fused systems (naphthalene) it reports
+    phantom large cycles (6+10 instead of 6+6) depending on atom order."""
     if HAS_RDKIT and not hasattr(mol, 'bond_index'):
+        from rdkit import Chem
+        Chem.GetSymmSSSR(mol)
         ri = mol.GetRingInfo()
         return Counter(len(r) for r in ri.AtomRings())
     from decompdiff_tpu.reconstruct.builder import _undirected_bonds
+    from decompdiff_tpu.reconstruct.ligan import find_rings
     bonds = _undirected_bonds(mol.bond_index, mol.bond_type)
-    adj = {}
-    for (a, b) in bonds:
-        adj.setdefault(a, set()).add(b)
-        adj.setdefault(b, set()).add(a)
-    parent, depth = {}, {}
-    tree_edges = set()
-    for root in range(mol.num_atoms):
-        if root in parent or root not in adj:
-            continue
-        parent[root], depth[root] = root, 0
-        stack = [root]
-        while stack:
-            u = stack.pop()
-            for v in adj.get(u, ()):
-                if v not in parent:
-                    parent[v], depth[v] = u, depth[u] + 1
-                    tree_edges.add((min(u, v), max(u, v)))
-                    stack.append(v)
-    sizes = Counter()
-    for (a, b) in bonds:
-        if (a, b) in tree_edges:
-            continue
-        # ring length = tree path length(a, b) + 1
-        ua, ub, length = a, b, 1
-        while ua != ub:
-            if depth[ua] >= depth[ub]:
-                ua = parent[ua]
-            else:
-                ub = parent[ub]
-            length += 1
-        sizes[length] += 1
+    rings = find_rings(mol.num_atoms, {tuple(b): 1 for b in bonds},
+                       max_size=24)
+    sizes = Counter(len(r) for r in rings)
     return sizes
 
 

@@ -52,10 +52,12 @@ def find_exact_cover(match_groups: Sequence[Sequence[Sequence[int]]],
         # candidate matches for this type that don't overlap used atoms
         matches = [m for m in match_groups[group_idx]
                    if not any(a in used for a in m)]
-        max_take = min(len(matches),
-                       (num_atoms - len(used)) and len(matches))
-        # try larger subsets first (the reference iterates L descending)
-        for L in range(len(matches), -1, -1):
+        # larger subsets first, and L >= 1: every fragment type must
+        # contribute at least one match (ref :81 `reversed(range(1, ...))`
+        # — allowing L=0 would let a greedy one-type cover 'succeed' on
+        # molecules the reference rejects with DecomposeError)
+        remaining = num_atoms - len(used)
+        for L in range(min(len(matches), remaining), 0, -1):
             for subset in itertools.combinations(matches, L):
                 flat = list(itertools.chain(*subset))
                 if len(flat) != len(set(flat)):

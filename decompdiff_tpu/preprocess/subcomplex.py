@@ -51,15 +51,56 @@ def mark_in_range(query_points, ref_points, cutoff: float = 1.6):
     return out
 
 
+def ligand_to_pdb_block(mol) -> str:
+    """Minimal HETATM PDB block for a parsed ligand (element + coords +
+    CONECT), enough for mdtraj.load — the reference converts the SDF to PDB
+    before mdtraj (ref preprocess_subcomplex.py:81, convert_sdf_to_pdb via
+    openbabel), since mdtraj cannot parse SDF."""
+    from decompdiff_tpu.constants import ATOMIC_NUM_TO_SYMBOL
+    lines = []
+    for i in range(mol.num_atoms):
+        sym = ATOMIC_NUM_TO_SYMBOL.get(int(mol.element[i]), 'C')
+        x, y, z = (float(v) for v in mol.pos[i])
+        name = f'{sym}{i + 1}'[:4]
+        lines.append(
+            f'HETATM{i + 1:5d} {name:<4s} LIG A   1    '
+            f'{x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00          {sym:>2s}')
+    seen = set()
+    for e in range(mol.bond_index.shape[1]):
+        a, b = int(mol.bond_index[0, e]), int(mol.bond_index[1, e])
+        if (min(a, b), max(a, b)) in seen:
+            continue
+        seen.add((min(a, b), max(a, b)))
+        lines.append(f'CONECT{a + 1:5d}{b + 1:5d}')
+    lines.append('END')
+    return '\n'.join(lines) + '\n'
+
+
 def run_alphaspace(protein_path: str, ligand_path: str, top_n: int = 10):
     """Contact pockets from an AlphaSpace2 snapshot, sorted by nonpolar space
-    (ref preprocess_subcomplex.py:80-97). Requires alphaspace2 + mdtraj."""
+    (ref preprocess_subcomplex.py:71-97). Requires alphaspace2 + mdtraj.
+    The ligand SDF is converted to a temporary PDB first — mdtraj cannot
+    parse SDF (ref :81 does the same via openbabel)."""
+    import tempfile
+
     import alphaspace2 as al
     import mdtraj
 
+    from decompdiff_tpu.data.mol import parse_sdf_file
+
     receptor = mdtraj.load(protein_path)
-    binder = mdtraj.load(ligand_path)
-    al.annotateVinaAtomTypes(pdbqt=None, receptor=receptor)
+    if ligand_path.endswith(('.sdf', '.sdf.gz')):
+        mol = parse_sdf_file(ligand_path)
+        with tempfile.NamedTemporaryFile('w', suffix='.pdb',
+                                         delete=False) as f:
+            f.write(ligand_to_pdb_block(mol))
+            tmp_pdb = f.name
+        try:
+            binder = mdtraj.load(tmp_pdb)
+        finally:
+            os.unlink(tmp_pdb)
+    else:
+        binder = mdtraj.load(ligand_path)
     ss = al.Snapshot()
     ss.run(receptor=receptor, binder=binder)
     pockets = [p for p in ss.pockets if p.isContact]

@@ -138,9 +138,15 @@ def connect_the_dots(pos, element, indicators=None,
         if d[i, j] < (_r(element[i]) + _r(element[j])) * covalent_factor:
             bonds[(i, j)] = 1
 
+    # freeze max valences from the INITIAL candidate graph (ref :111-125
+    # computes atom_maxb exactly once); recomputing from the live pruned
+    # bond dict would let a sulfone's S drop from 6 back to 2 mid-repair
+    # after one of its S-O candidates is stretch-pruned
+    maxb = [_maxb(element, i, bonds) for i in range(n)]
+
     # remove impossible halogen-halogen bonds (ref :127-132)
     for (a, b) in list(bonds):
-        if (_maxb(element, a, bonds) == 1 and _maxb(element, b, bonds) == 1):
+        if maxb[a] == 1 and maxb[b] == 1:
             del bonds[(a, b)]
 
     # stretch pruning, most stretched first (ref :149-165)
@@ -161,10 +167,10 @@ def connect_the_dots(pos, element, indicators=None,
 
     hypers = sorted(
         range(n),
-        key=lambda i: (_maxb(element, i, bonds),
-                       -(explicit_valence(i) - _maxb(element, i, bonds))))
+        key=lambda i: (maxb[i],
+                       -(explicit_valence(i) - maxb[i])))
     for atom in hypers:
-        if explicit_valence(atom) <= _maxb(element, atom, bonds):
+        if explicit_valence(atom) <= maxb[atom]:
             continue
         abonds = sorted((ab for ab in bonds if atom in ab),
                         key=lambda ab: -_stretch(pos, element, *ab))
@@ -173,12 +179,12 @@ def connect_the_dots(pos, element, indicators=None,
                 continue
             if _stretch(pos, element, a, b) < 0.9:  # too close to remove
                 continue
-            if (explicit_valence(a) > _maxb(element, a, bonds)
-                    or explicit_valence(b) > _maxb(element, b, bonds)):
+            if (explicit_valence(a) > maxb[a]
+                    or explicit_valence(b) > maxb[b]):
                 if not _reachable(a, b, bonds):
                     continue
                 del bonds[(a, b)]
-                if explicit_valence(atom) <= _maxb(element, atom, bonds):
+                if explicit_valence(atom) <= maxb[atom]:
                     break
     return bonds
 

@@ -34,21 +34,24 @@ def get_auroc(y_true, y_pred_prob, feat_mode: str = 'basic',
 
 
 def get_bond_auroc(y_true, y_pred_prob, logger=None) -> float:
-    """Mean AUROC over bond classes 1..4 (ref :45-59)."""
+    """Frequency-weighted OVR AUROC over ALL bond classes present,
+    INCLUDING class 0 / no-bond, exactly like the reference (ref :45-59
+    weights each class AUROC by its count and divides by len(y_true)).
+    Class 0 dominates fully-connected bond labels (~90%+), so this number
+    is NOT comparable to an unweighted mean over classes 1..4 — parity
+    with reference training logs requires the reference weighting."""
     y_true = np.asarray(y_true)
     y_pred_prob = np.asarray(y_pred_prob)
     avg = 0.0
-    n = 0
-    for c in range(1, y_pred_prob.shape[-1]):
+    for c in np.unique(y_true):
         mask = (y_true == c)
-        if mask.sum() == 0 or mask.all():
+        if mask.all():
             continue
         try:
             auroc = roc_auc_score(mask.astype(int), y_pred_prob[:, c])
         except ValueError:
             continue
-        avg += auroc
-        n += 1
+        avg += auroc * mask.sum()
         if logger:
             logger.info(f'bond: class {c} auroc: {auroc:.4f}')
-    return float(avg / max(n, 1))
+    return float(avg / len(y_true))

@@ -104,7 +104,7 @@ def make_train_step(model: DecompDiffModel, tx, train_cfg):
 
     @jax.jit
     def train_step(state: TrainState, batch: ComplexBatch, rng):
-        rng_prot, rng_prior, rng_t, rng_loss = jax.random.split(rng, 4)
+        rng_prot, rng_prior, rng_t, rng_t2, rng_loss = jax.random.split(rng, 5)
         # input jitter (ref scripts/train_diffusion_decomp.py:160-164)
         batch = batch.replace(
             protein_pos=batch.protein_pos + pos_noise_std * jax.random.normal(
@@ -117,16 +117,24 @@ def make_train_step(model: DecompDiffModel, tx, train_cfg):
         time_step = None
         T = model.num_timesteps
         if method == 'importance' and state.lt_history is not None:
-            # importance-weighted t (ref models/decompdiff.py:374-385),
-            # jit-safe: falls back to uniform until every t has >10 samples
-            lt_sqrt = jnp.sqrt(state.lt_history
-                               / jnp.maximum(state.lt_count, 1.0)
-                               + 1e-10) + 1e-4
+            # importance-weighted t (ref models/decompdiff.py:374-385):
+            # p(t) ~ sqrt(E[L_t^2]) once every t has >10 visits; before
+            # that, the reference falls back to SYMMETRIC antithetic
+            # sampling (ref :377,387-393), not uniform — jit-safe via a
+            # per-element select between the two draws. lt_history holds a
+            # rolling EMA of the squared per-graph pos loss (improved-DDPM
+            # scheme), so the weighting tracks the CURRENT loss landscape
+            # instead of an infinite-horizon average dominated by stale
+            # early-training values.
+            lt_sqrt = jnp.sqrt(state.lt_history + 1e-10) + 1e-4
             lt_sqrt = lt_sqrt.at[0].set(lt_sqrt[1])
             p_imp = lt_sqrt / lt_sqrt.sum()
             ready = (state.lt_count > 10).all()
-            p = jnp.where(ready, p_imp, jnp.full((T,), 1.0 / T))
-            time_step = jax.random.choice(rng_t, T, (batch.batch_size,), p=p)
+            t_imp = jax.random.choice(rng_t, T, (batch.batch_size,), p=p_imp)
+            half = jax.random.randint(rng_t2, (batch.batch_size // 2 + 1,),
+                                      0, T)
+            t_sym = jnp.concatenate([half, T - half - 1])[:batch.batch_size]
+            time_step = jnp.where(ready, t_imp, t_sym)
 
         (_, (metrics, t_used, per_graph)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, rng_loss, batch, time_step)
@@ -136,9 +144,18 @@ def make_train_step(model: DecompDiffModel, tx, train_cfg):
 
         lt_history, lt_count = state.lt_history, state.lt_count
         if lt_history is not None:
-            lt_history = lt_history.at[t_used].add(
-                jax.lax.stop_gradient(per_graph))
-            lt_count = lt_count.at[t_used].add(1.0)
+            # rolling EMA of squared per-graph pos loss per timestep
+            # (improved-DDPM importance scheme; the reference registers the
+            # buffers but never updates them, ref :506-507 commented out)
+            sq = jax.lax.stop_gradient(per_graph) ** 2
+            sums = jnp.zeros((T,), lt_history.dtype).at[t_used].add(sq)
+            cnts = jnp.zeros((T,), lt_count.dtype).at[t_used].add(1.0)
+            step_mean = sums / jnp.maximum(cnts, 1.0)
+            decay = 0.9
+            lt_history = jnp.where(
+                cnts > 0, decay * lt_history + (1 - decay) * step_mean,
+                lt_history)
+            lt_count = lt_count + cnts
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state, lt_history=lt_history,
                           lt_count=lt_count), metrics

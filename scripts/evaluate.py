@@ -81,7 +81,51 @@ def main(argv=None):
             if mol is None:
                 continue
             n_recon += 1
-            n_complete += int(r.get('complete', False))
+            # the reference protocol excludes disconnected molecules from
+            # EVERY statistic ('.' in SMILES -> continue, ref
+            # evaluate_mol_from_meta_full.py:73-74); 'complete' records the
+            # same connectivity check at sampling time
+            if not r.get('complete', False):
+                continue
+            n_complete += 1
+
+            # chem + docking run BEFORE any metric accumulation: a sample
+            # whose scoring or docking fails contributes nothing (ref
+            # :76-108 single try -> continue). On an RDKit-free host chem
+            # scoring is unavailable (can_score False) and samples are
+            # kept — the geometric JSD metrics still work (degraded mode).
+            chem = None
+            if scoring.can_score(mol):
+                try:
+                    chem = scoring.get_chem(mol)
+                except Exception as e:
+                    logger.info(f'chem scoring failed (sample skipped): {e}')
+                    continue
+
+            dock_val, vina_results = None, None
+            if args.docking_mode != 'none':
+                try:
+                    vina_results = protocol.run_docking(
+                        mol, args.docking_mode,
+                        ligand_filename=r.get('ligand_filename', ''),
+                        protein_root=args.protein_root,
+                        protein_path=r.get('protein_path'),
+                        exhaustiveness=args.exhaustiveness,
+                        tmp_dir=args.tmp_dir)
+                except Exception as e:
+                    logger.info(f'docking failed (sample skipped): {e}')
+                    continue
+                n_dock_success += 1
+                dock_val = protocol.dock_affinity(vina_results,
+                                                  args.docking_mode)
+                ref_d = ref_vina.get(r.get('ligand_filename', ''))
+                if ref_d is not None and dock_val is not None:
+                    ha_flags.append(dock_val < float(ref_d))
+
+            chem_list.append(chem)
+            dock_list.append(dock_val)
+            if vina_results is not None:
+                vina_rows.append(vina_results)
 
             elements = atomic_numbers_from_index(r['pred_v'], atom_mode)
             atom_counter.update(int(z) for z in elements)
@@ -92,35 +136,6 @@ def main(argv=None):
                 ring_sizes.update(get_ring_sizes(mol))
             except Exception:
                 pass
-
-            chem = None
-            if scoring.can_score(mol):
-                try:
-                    chem = scoring.get_chem(mol)
-                except Exception as e:
-                    logger.info(f'chem scoring failed: {e}')
-            chem_list.append(chem)
-
-            dock_val = None
-            if args.docking_mode != 'none':
-                try:
-                    vina_results = protocol.run_docking(
-                        mol, args.docking_mode,
-                        ligand_filename=r.get('ligand_filename', ''),
-                        protein_root=args.protein_root,
-                        protein_path=r.get('protein_path'),
-                        exhaustiveness=args.exhaustiveness,
-                        tmp_dir=args.tmp_dir)
-                    vina_rows.append(vina_results)
-                    n_dock_success += 1
-                    dock_val = protocol.dock_affinity(vina_results,
-                                                      args.docking_mode)
-                    ref_d = ref_vina.get(r.get('ligand_filename', ''))
-                    if ref_d is not None and dock_val is not None:
-                        ha_flags.append(dock_val < float(ref_d))
-                except Exception as e:
-                    logger.info(f'docking failed: {e}')
-            dock_list.append(dock_val)
 
     logger.info(f'total {n_total}, reconstructed {n_recon} '
                 f'({n_recon / max(n_total, 1):.1%}), complete {n_complete} '

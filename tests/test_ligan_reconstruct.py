@@ -153,3 +153,30 @@ def test_find_rings_basis():
     rings = ligan.find_rings(4, bonds)
     sizes = sorted(len(r) for r in rings)
     assert sizes == [3, 3]
+
+
+def test_sulfone_maxb_frozen_from_candidate_graph():
+    """atom_maxb must be computed ONCE from the initial candidate graph
+    (ref utils/reconstruct.py:111-125): a sulfone S whose second S-O
+    candidate gets stretch-pruned must keep max valence 6 during
+    hypervalency repair, not fall back to 2 and lose valid S-C bonds
+    (round-3 review; the old live-graph recompute deleted the S-C3 ring
+    bond in exactly this fixture)."""
+    import numpy as np
+
+    from decompdiff_tpu.reconstruct.ligan import connect_the_dots
+
+    element = np.array([16, 8, 8, 6, 6, 6])  # S, O1, O2, C1, C2, C3
+    pos = np.array([
+        [0.0, 0.0, 0.0],      # S
+        [-1.45, 0.0, 0.0],    # O1: S=O kept (stretch 0.85)
+        [-0.9, 1.9, 0.0],     # O2: S-O2 candidate, stretch-pruned; stays via C1
+        [0.0, 1.8, 0.0],      # C1 (ring)
+        [1.4, 2.3, 0.0],      # C2 (ring)
+        [1.7, 0.6, 0.0],      # C3 (ring, closes back to S)
+    ], np.float64)
+    bonds = connect_the_dots(pos, element)
+    assert (0, 2) not in bonds          # stretched S-O2 pruned
+    assert (2, 3) in bonds              # O2 still attached via C1
+    assert (0, 1) in bonds              # S=O1
+    assert (0, 3) in bonds and (0, 5) in bonds   # BOTH ring S-C bonds kept

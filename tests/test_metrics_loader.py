@@ -25,10 +25,25 @@ def test_auroc_random_predictions():
     assert abs(get_auroc(y, probs) - 0.5) < 0.05
 
 
-def test_bond_auroc_ignores_class_zero():
+def test_bond_auroc_frequency_weighted_with_class_zero():
+    """Reference weighting (ref train_diffusion_decomp.py:45-59): every
+    class present — INCLUDING class 0 / no-bond — contributes its AUROC
+    weighted by frequency, divided by len(y_true)."""
     y = np.array([0, 0, 1, 2, 1, 2] * 10)
     probs = np.eye(5)[y] * 0.8 + 0.04
     assert get_bond_auroc(y, probs) > 0.99
+
+    # class 0 predicted perfectly, classes 1/2 at chance: the weighted
+    # average must sit near (2/6)*1.0 + (4/6)*0.5 = 0.667, far from the
+    # unweighted classes-1..4 mean (~0.5)
+    rng = np.random.default_rng(0)
+    y2 = np.array([0, 0, 1, 2, 1, 2] * 200)
+    probs2 = np.zeros((len(y2), 5))
+    probs2[:, 0] = (y2 == 0) * 0.9 + 0.05          # perfect class-0 score
+    probs2[:, 1] = rng.random(len(y2))             # chance
+    probs2[:, 2] = rng.random(len(y2))             # chance
+    val = get_bond_auroc(y2, probs2)
+    assert abs(val - (1.0 / 3 + 0.5 * 2 / 3)) < 0.05, val
 
 
 def test_bucketed_loader_batches(tmp_path):

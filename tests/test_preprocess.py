@@ -8,16 +8,29 @@ from decompdiff_tpu.preprocess.decompose import (
     split_by_assignment)
 
 
-def test_exact_cover_simple():
-    # 6 atoms; type A matches {0,1,2} and {3,4,5}; type B matches {1,2,3}
+def test_exact_cover_every_type_must_contribute():
+    # 6 atoms; type A matches {0,1,2} and {3,4,5}; type B matches {1,2,3}.
+    # Type A alone covers everything, but the reference requires EVERY
+    # BRICS fragment type to take at least one match (ref
+    # utils/preprocess.py:81 `reversed(range(1, ...))`) — type B can only
+    # overlap, so there is no cover and the molecule is rejected
+    # (round-3 review fix; the old code returned a greedy one-type cover).
     groups = [
         [(0, 1, 2), (3, 4, 5)],
         [(1, 2, 3)],
     ]
-    cover = find_exact_cover(groups, 6)
+    assert find_exact_cover(groups, 6) is None
+
+
+def test_exact_cover_splits_shared_matches():
+    # both types match the same two segments: each takes one
+    groups = [
+        [(0, 1), (2, 3)],
+        [(0, 1), (2, 3)],
+    ]
+    cover = find_exact_cover(groups, 4)
     assert cover is not None
-    assert sorted(cover[0]) == [0, 1, 2, 3, 4, 5]
-    assert cover[1] == []
+    assert sorted(map(sorted, cover)) == [[0, 1], [2, 3]]
 
 
 def test_exact_cover_requires_both_types():
@@ -87,3 +100,28 @@ def test_fewer_arms_than_pockets():
         centroids, frag_atoms, bonds, pockets)
     assert assignment[0] == 0
     assert set(cluster_pocket_idx) == {0, 1}
+
+
+def test_ligand_to_pdb_block():
+    """mdtraj cannot parse SDF: run_alphaspace converts via this block (ref
+    preprocess_subcomplex.py:81 uses openbabel for the same step)."""
+    import numpy as np
+
+    from decompdiff_tpu.data.mol import MolRecord
+    from decompdiff_tpu.preprocess.subcomplex import ligand_to_pdb_block
+
+    m = MolRecord(element=np.array([6, 7, 8]),
+                  pos=np.array([[0., 0., 0.], [1.4, 0., 0.], [2.1, 1.1, 0.]],
+                               np.float32),
+                  bond_index=np.array([[0, 1, 1, 2], [1, 0, 2, 1]]),
+                  bond_type=np.array([1, 1, 2, 2]),
+                  aromatic=np.zeros(3, bool))
+    blk = ligand_to_pdb_block(m)
+    lines = blk.splitlines()
+    het = [l for l in lines if l.startswith('HETATM')]
+    assert len(het) == 3
+    # PDB fixed columns: x at 31-38, element at 77-78
+    assert float(het[1][30:38]) == 1.4
+    assert het[1][76:78].strip() == 'N'
+    assert sum(1 for l in lines if l.startswith('CONECT')) == 2  # deduped
+    assert lines[-1] == 'END'
