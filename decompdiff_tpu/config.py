@@ -46,15 +46,19 @@ class Config(dict):
     def get(self, key, default=None):
         return super().get(key, default)
 
+    @staticmethod
+    def _unwrap(v):
+        # symmetric with _wrap: recurse through nested lists too, or a
+        # Config two list levels down survives into yaml.safe_dump and
+        # raises RepresenterError
+        if isinstance(v, Config):
+            return v.to_dict()
+        if isinstance(v, (list, tuple)):
+            return [Config._unwrap(x) for x in v]
+        return v
+
     def to_dict(self):
-        out = {}
-        for k, v in self.items():
-            if isinstance(v, Config):
-                v = v.to_dict()
-            elif isinstance(v, (list, tuple)):
-                v = [x.to_dict() if isinstance(x, Config) else x for x in v]
-            out[k] = v
-        return out
+        return {k: self._unwrap(v) for k, v in self.items()}
 
 
 def load_config(path: str) -> Config:

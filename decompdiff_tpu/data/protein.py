@@ -48,6 +48,42 @@ class PDBProtein:
         self._parse()
 
     def _enum_atom_lines(self):
+        # native fast path: the C fixed-column parser (same slicing, same
+        # ENDMDL stop) eliminates the per-field python float()/int() cost;
+        # the dicts below carry exactly the fallback parser's fields and a
+        # parity test pins the two paths to identical output
+        # (tests/test_native.py)
+        from decompdiff_tpu import native
+        # (byte line offsets == str offsets only for ASCII — PDB always is;
+        # fall back otherwise)
+        parsed = (native.parse_pdb_atoms_native(self.block)
+                  if self.block.isascii() else None)
+        if parsed is not None:
+            for line in self.block.splitlines():
+                if line[0:6].strip() == 'HEADER':
+                    yield {'type': 'HEADER', 'value': line[10:].strip()}
+                    break
+                if line[0:6].strip() in ('ATOM', 'ENDMDL'):
+                    break  # HEADER only appears before coordinates
+            pos = parsed['pos']
+            off, ll = parsed['line_off'], parsed['line_len']
+            for i in range(len(parsed['serial'])):
+                yield {
+                    'line': self.block[int(off[i]):int(off[i]) + int(ll[i])],
+                    'type': 'ATOM',
+                    'atom_id': int(parsed['serial'][i]),
+                    'atom_name': parsed['atom_name'][i],
+                    'res_name': parsed['res_name'][i],
+                    'chain': parsed['chain'][i].strip(),
+                    'res_id': int(parsed['res_id'][i]),
+                    'res_insert_id': parsed['insert_id'][i].strip(),
+                    'x': float(pos[i, 0]),
+                    'y': float(pos[i, 1]),
+                    'z': float(pos[i, 2]),
+                    'segment': parsed['segment'][i],
+                    'element_symb': parsed['element'][i],
+                }
+            return
         for line in self.block.splitlines():
             rec = line[0:6].strip()
             if rec == 'ATOM':

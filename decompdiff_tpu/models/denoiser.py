@@ -174,7 +174,10 @@ class DecompDenoiser(nn.Module):
                 k=cfg['knn'],
                 edge_feat_dim=cfg.get('edge_feat_dim', 4),
                 num_r_gaussian=cfg.get('num_r_gaussian', 20),
-                use_global_ew=cfg.get('use_global_ew', True),
+                # the reference NEVER forwards use_global_ew to this net
+                # (ref models/encoders/__init__.py:30-46): the sigmoid e_w
+                # weighting is always on, so a config key cannot disable it
+                use_global_ew=True,
                 x2h_out_fc=cfg.get('x2h_out_fc', True),
                 include_h_node=cfg.get('h_node_in_bond_net', False),
                 remat=cfg.get('remat', False),

@@ -65,7 +65,7 @@ def get_lib():
         lib.parse_pdb_atoms.restype = ctypes.c_int64
         lib.parse_pdb_atoms.argtypes = [
             cp, ctypes.c_int64, ctypes.c_int64, i32p, f32p, i32p,
-            cp, cp, cp, cp, cp]
+            cp, cp, cp, cp, cp, cp, i64p, i32p]
         lib.perceive_bonds.restype = ctypes.c_int64
         lib.perceive_bonds.argtypes = [
             f32p, f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
@@ -84,12 +84,22 @@ def available() -> bool:
 
 # --- high-level wrappers ------------------------------------------------------
 
+def _check_counts(counts, n_pad: int, fn: str):
+    """The C entry points memcpy with no bounds checks — an oversize count
+    would be silent heap corruption (or a size_t-underflow memset), so the
+    wrappers validate loudly for native AND fallback parity."""
+    if len(counts) and int(np.max(counts)) > n_pad:
+        raise ValueError(
+            f'{fn}: max count {int(np.max(counts))} exceeds n_pad {n_pad}')
+
+
 def pad_stack_f32(arrays, n_pad: int) -> np.ndarray:
     """[(n_i, F)] float32 -> [B, n_pad, F]. Native memcpy path."""
     lib = get_lib()
     B = len(arrays)
     F = arrays[0].shape[-1] if arrays[0].ndim > 1 else 1
     counts = np.array([len(a) for a in arrays], np.int64)
+    _check_counts(counts, n_pad, 'pad_stack_f32')
     out = np.zeros((B, n_pad, F), np.float32)
     if lib is None:
         for b, a in enumerate(arrays):
@@ -107,6 +117,7 @@ def pad_stack_i32(arrays, n_pad: int) -> np.ndarray:
     B = len(arrays)
     F = arrays[0].shape[-1] if arrays[0].ndim > 1 else 1
     counts = np.array([len(a) for a in arrays], np.int64)
+    _check_counts(counts, n_pad, 'pad_stack_i32')
     out = np.zeros((B, n_pad, F), np.int32)
     if lib is None:
         for b, a in enumerate(arrays):
@@ -122,6 +133,7 @@ def pad_stack_i32(arrays, n_pad: int) -> np.ndarray:
 def length_masks(counts, n_pad: int) -> np.ndarray:
     lib = get_lib()
     counts = np.asarray(counts, np.int64)
+    _check_counts(counts, n_pad, 'length_masks')
     B = len(counts)
     out = np.zeros((B, n_pad), np.uint8)
     if lib is None:
@@ -137,6 +149,7 @@ def pad_square_stack_i32(mats, n_pad: int) -> np.ndarray:
     lib = get_lib()
     B = len(mats)
     counts = np.array([m.shape[0] for m in mats], np.int64)
+    _check_counts(counts, n_pad, 'pad_square_stack_i32')
     out = np.zeros((B, n_pad, n_pad), np.int32)
     if lib is None:
         for b, m in enumerate(mats):
@@ -153,6 +166,7 @@ def pad_square_stack_i32(mats, n_pad: int) -> np.ndarray:
 def fc_bond_masks(counts, n_pad: int) -> np.ndarray:
     lib = get_lib()
     counts = np.asarray(counts, np.int64)
+    _check_counts(counts, n_pad, 'fc_bond_masks')
     B = len(counts)
     out = np.zeros((B, n_pad, n_pad), np.uint8)
     if lib is None:
@@ -180,11 +194,16 @@ def parse_pdb_atoms_native(text: str, max_atoms: int = 100000):
     chain = ctypes.create_string_buffer(max_atoms)
     insert_id = ctypes.create_string_buffer(max_atoms)
     element = ctypes.create_string_buffer(max_atoms * 2)
+    segment = ctypes.create_string_buffer(max_atoms * 4)
+    line_off = np.zeros(max_atoms, np.int64)
+    line_len = np.zeros(max_atoms, np.int32)
     n = lib.parse_pdb_atoms(raw, len(raw), max_atoms,
                             _ptr(serial, ctypes.c_int32),
                             _ptr(pos, ctypes.c_float),
                             _ptr(res_id, ctypes.c_int32),
-                            atom_name, res_name, chain, insert_id, element)
+                            atom_name, res_name, chain, insert_id, element,
+                            segment, _ptr(line_off, ctypes.c_int64),
+                            _ptr(line_len, ctypes.c_int32))
     if n < 0:
         return None
     n = int(n)
@@ -201,6 +220,11 @@ def parse_pdb_atoms_native(text: str, max_atoms: int = 100000):
         'chain': [chain.raw[i:i + 1].decode() for i in range(n)],
         'insert_id': [insert_id.raw[i:i + 1].decode() for i in range(n)],
         'element': elements,
+        'segment': [segment.raw[i * 4:(i + 1) * 4].decode().strip()
+                    for i in range(n)],
+        # byte offsets/lengths of each ATOM line in the source text (PDB is
+        # ASCII, so byte == str indices for the caller's slicing)
+        'line_off': line_off[:n].copy(), 'line_len': line_len[:n].copy(),
     }
 
 

@@ -112,14 +112,16 @@ static inline int parse_i(const char* s, int len) {
 int64_t parse_pdb_atoms(const char* text, int64_t text_len, int64_t max_atoms,
                         int32_t* serial, float* pos, int32_t* res_id,
                         char* atom_name, char* res_name, char* chain,
-                        char* insert_id, char* element) {
+                        char* insert_id, char* element, char* segment,
+                        int64_t* line_off, int32_t* line_len) {
     int64_t n = 0;
     const char* p = text;
     const char* end = text + text_len;
     while (p < end) {
         const char* nl = static_cast<const char*>(
             std::memchr(p, '\n', end - p));
-        const int64_t len = nl ? (nl - p) : (end - p);
+        int64_t len = nl ? (nl - p) : (end - p);
+        if (len > 0 && p[len - 1] == '\r') --len;  // CRLF, like splitlines()
         if (len >= 6 && std::strncmp(p, "ATOM", 4) == 0 &&
             (p[4] == ' ' || p[5] == ' ')) {
             if (len < 54) { p = nl ? nl + 1 : end; continue; }
@@ -133,13 +135,22 @@ int64_t parse_pdb_atoms(const char* text, int64_t text_len, int64_t max_atoms,
             pos[n * 3 + 0] = parse_f(p + 30, 8);
             pos[n * 3 + 1] = parse_f(p + 38, 8);
             pos[n * 3 + 2] = parse_f(p + 46, 8);
-            if (len >= 78) {
+            if (len >= 78 && (p[76] != ' ' || p[77] != ' ')) {
                 element[n * 2] = p[76];
                 element[n * 2 + 1] = p[77];
             } else {
+                // blank/absent element columns: same fallback as the python
+                // parser (protein.py: line[13:14])
                 element[n * 2] = ' ';
                 element[n * 2 + 1] = p[13];
             }
+            if (len >= 76) {
+                std::memcpy(segment + n * 4, p + 72, 4);
+            } else {
+                std::memset(segment + n * 4, ' ', 4);
+            }
+            line_off[n] = p - text;
+            line_len[n] = static_cast<int32_t>(len);
             ++n;
         } else if (len >= 6 && std::strncmp(p, "ENDMDL", 6) == 0) {
             break;
@@ -166,7 +177,9 @@ int64_t perceive_bonds(const float* pos, const float* radii, int64_t n,
             const float dz = pos[i * 3 + 2] - pos[j * 3 + 2];
             const float d2 = dx * dx + dy * dy + dz * dz;
             const float cut = (radii[i] + radii[j]) * stretch;
-            if (d2 < cut * cut && d2 > min_d2) {
+            // lower bound inclusive: min_d=0 must admit coincident atoms,
+            // matching the numpy candidate stage in ligan.connect_the_dots
+            if (d2 < cut * cut && d2 >= min_d2) {
                 if (m >= max_bonds) return -1;
                 bond_src[m] = static_cast<int32_t>(i);
                 bond_dst[m] = static_cast<int32_t>(j);

@@ -132,11 +132,21 @@ def connect_the_dots(pos, element, indicators=None,
     if n == 0:
         return bonds
 
-    # candidate bonds within covalent_factor * (ra + rb) (ref :100-109)
-    d = np.linalg.norm(pos[:, None] - pos[None], axis=-1)
-    for i, j in itertools.combinations(range(n), 2):
-        if d[i, j] < (_r(element[i]) + _r(element[j])) * covalent_factor:
-            bonds[(i, j)] = 1
+    # candidate bonds within covalent_factor * (ra + rb) (ref :100-109);
+    # native C fast path skips the O(n^2) python pair loop + distance
+    # matrix (tests/test_native.py pins native == numpy candidates)
+    from decompdiff_tpu import native as _native
+    radii = np.array([_r(z) for z in element], np.float32)
+    nb = _native.perceive_bonds_native(pos, radii, stretch=covalent_factor,
+                                       min_d=0.0)
+    if nb is not None:
+        for a, b in zip(*nb):
+            bonds[(int(a), int(b))] = 1
+    else:
+        d = np.linalg.norm(pos[:, None] - pos[None], axis=-1)
+        for i, j in itertools.combinations(range(n), 2):
+            if d[i, j] < (_r(element[i]) + _r(element[j])) * covalent_factor:
+                bonds[(i, j)] = 1
 
     # freeze max valences from the INITIAL candidate graph (ref :111-125
     # computes atom_maxb exactly once); recomputing from the live pruned

@@ -54,6 +54,11 @@ def _linear(sd, prefix):
 def _split_edge_kv(sd, prefix, name, feat_dim, hidden):
     """NodeUpdateLayer/PosUpdateLayer kv MLP -> factorized blocks."""
     w0 = np.asarray(sd[f'{prefix}.net.0.weight'], np.float32)  # [H, Fe+2H]
+    if w0.shape[1] != feat_dim + 2 * hidden:
+        raise ValueError(
+            f'{prefix}: kv width {w0.shape[1]} != edge_feat {feat_dim} + '
+            f'2*hidden {hidden} — checkpoint trained with a different '
+            'num_r_gaussian/edge_feat_dim; slicing would silently scramble')
     out = {
         f'{name}_e_kernel': w0[:, :feat_dim].T,
         f'{name}_e_bias': np.asarray(sd[f'{prefix}.net.0.bias'], np.float32),
@@ -71,6 +76,12 @@ def _split_bond_kv(sd, prefix, name, hidden, include_h_node, rbf=20, ang=13):
     """BondUpdateLayer kv MLP -> kj / ij / a / j blocks."""
     w0 = np.asarray(sd[f'{prefix}.net.0.weight'], np.float32)
     H, R, A = hidden, rbf, ang
+    expect = (3 * H if include_h_node else 2 * H) + 2 * R + A
+    if w0.shape[1] != expect:
+        raise ValueError(
+            f'{prefix}: kv width {w0.shape[1]} != {expect} '
+            f'(hidden {H}, rbf {R}, ang {A}, include_h_node '
+            f'{include_h_node}) — slicing would silently scramble')
     c_bond, c_rkj, c_rji, c_a = 0, H, H + R, H + 2 * R
     c_hk, c_hj = H + 2 * R + A, 2 * H + 2 * R + A
     if include_h_node:
@@ -97,6 +108,9 @@ def _split_bond_kv(sd, prefix, name, hidden, include_h_node, rbf=20, ang=13):
 def _split_dense_bond_kv(sd, prefix, name, hidden):
     """Bond-stream kv MLP over [h_bond, h_i, h_j] -> raw param blocks."""
     w0 = np.asarray(sd[f'{prefix}.net.0.weight'], np.float32)
+    if w0.shape[1] != 3 * hidden:
+        raise ValueError(
+            f'{prefix}: kv width {w0.shape[1]} != 3*hidden {hidden}')
     return {
         f'{name}_e_kernel': w0[:, :hidden].T,
         f'{name}_e_bias': np.asarray(sd[f'{prefix}.net.0.bias'], np.float32),
@@ -117,6 +131,11 @@ def _split_o2_kv(sd, prefix, name, n_etypes, hidden):
     and outer column blocks swap."""
     w0 = np.asarray(sd[f'{prefix}.net.0.weight'], np.float32)
     fe, rfe = n_etypes, n_etypes * 20
+    if w0.shape[1] != fe + rfe + 2 * hidden:
+        raise ValueError(
+            f'{prefix}: kv width {w0.shape[1]} != {fe + rfe + 2 * hidden} '
+            '(edge types + outer + 2*hidden) — slicing would silently '
+            'scramble')
     we = np.concatenate([w0[:, fe:fe + rfe], w0[:, :fe]], axis=1)
     return {
         f'{name}_e_kernel': we.T,

@@ -180,15 +180,27 @@ def visualize_generated_xyz_v2(atom_pos, atom_type, protein_path,
     return view
 
 
-def visualize_generated_xyz(result: dict, root: str = '', show_ligand=False,
+def visualize_generated_xyz(result: dict, root: str = '',
+                            atom_mode: str = 'basic', show_ligand=False,
                             size=(640, 480)):
     """View one sampling-result entry as a raw point cloud in its pocket
-    (ref utils/visualize.py:201-236; the result dict carries `element`/`pos`
-    plus the provenance paths scripts/sample.py records)."""
-    protein_path = os.path.join(root, result['protein_path'])
+    (ref utils/visualize.py:201-236). Consumes the scripts/sample.py entry
+    contract: `pred_pos` [N, 3], `pred_v` (atom-CLASS indices, mapped to
+    atomic numbers via `atom_mode`), and the provenance paths — falls back
+    to `src_protein_filename` under `root` when `protein_path` was not
+    recorded (sample.py ran without --protein_path)."""
+    from decompdiff_tpu.constants import atomic_numbers_from_index
+    protein_path = result.get('protein_path') or result.get(
+        'src_protein_filename')
+    if not protein_path:
+        raise ValueError('result carries no protein path (pass '
+                         '--protein_path at sampling time or record '
+                         'src_protein_filename)')
+    protein_path = os.path.join(root, protein_path)
+    elements = atomic_numbers_from_index(result['pred_v'], atom_mode)
     ligand_path = result.get('src_ligand_filename')
     return visualize_generated_xyz_v2(
-        result['pos'], result['element'], protein_path,
+        result['pred_pos'], elements, protein_path,
         ligand_path=os.path.join(root, ligand_path) if ligand_path else None,
         show_ligand=show_ligand, show_protein_surface=False, size=size)
 

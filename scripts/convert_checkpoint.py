@@ -18,6 +18,20 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _plain_dict(cfg):
+    """Recursively convert the reference config to builtin dicts/lists.
+
+    Reference checkpoints store the config as easydict.EasyDict (ref
+    utils/misc.py load_config) — a dict SUBCLASS, so an isinstance(dict)
+    check keeps EasyDict instances, and pickling them makes the converted
+    checkpoint unloadable anywhere easydict is not installed."""
+    if isinstance(cfg, dict):
+        return {k: _plain_dict(v) for k, v in cfg.items()}
+    if isinstance(cfg, (list, tuple)):
+        return [_plain_dict(v) for v in cfg]
+    return cfg
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('ref_ckpt')
@@ -30,11 +44,30 @@ def main():
     sd, model_cfg = load_reference_checkpoint(args.ref_ckpt)
     params = convert_reference_state_dict(sd, model_cfg)
 
+    # unpickling the reference config requires the easydict class to exist;
+    # provide a minimal stand-in when the package is absent (this image)
+    try:
+        import easydict  # noqa: F401
+    except ImportError:
+        import types
+
+        class _EasyDictStub(dict):
+            def __getattr__(self, name):
+                try:
+                    return self[name]
+                except KeyError as e:
+                    raise AttributeError(name) from e
+
+            def __setattr__(self, name, value):
+                self[name] = value
+
+        stub = types.ModuleType('easydict')
+        stub.EasyDict = _EasyDictStub
+        sys.modules['easydict'] = stub
+
     import torch
     ref = torch.load(args.ref_ckpt, map_location='cpu', weights_only=False)
-    full_cfg = ref['config']
-    if not isinstance(full_cfg, dict):
-        full_cfg = {k: full_cfg[k] for k in full_cfg}
+    full_cfg = _plain_dict(ref['config'])
 
     payload = {
         'config': full_cfg,

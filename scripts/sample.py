@@ -177,10 +177,18 @@ def main():
                 model.atom_diff.prior_logprobs, np.float64)),
             bond_prior_probs=np.exp(np.asarray(
                 model.bond_diff.prior_logprobs, np.float64)))
+        if len(records) < args.batch_size:
+            # pad the tail batch with copies of the last record: a smaller
+            # batch dim would re-trace and recompile the whole 1000-step
+            # scan (minutes on TPU) for the leftover samples, and break the
+            # sharding gate below; outputs are sliced back to n afterwards
+            records = records + [dict(records[-1])] * (
+                args.batch_size - len(records))
         batch = collate(records)
         # sampling is embarrassingly parallel across pockets/samples: shard
         # the batch over all devices (SURVEY.md §5 distributed plan)
-        if jax.device_count() > 1 and n % jax.device_count() == 0:
+        if (jax.device_count() > 1
+                and batch.batch_size % jax.device_count() == 0):
             batch = shard_batch(batch, make_mesh())
         if any(d['type'] == 'clash' for d in energy_drift):
             B = batch.batch_size

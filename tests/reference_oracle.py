@@ -312,7 +312,9 @@ def uni_transformer_bond(sd, cfg, h, x, group_idx, bond_index, h_bond,
         edge_index = knn_graph(x, batch, k)
         edge_type = build_edge_type(edge_index, mask_ligand, group_idx)
         src, dst = edge_index
-        if cfg.get('use_global_ew', True):
+        # the reference never forwards use_global_ew to the bond net (ref
+        # models/encoders/__init__.py:30-46) — e_w is unconditionally on
+        if True:
             dist = np.sqrt(((x[dst] - x[src]) ** 2).sum(-1))
             logits = _mlp(sd, 'refine_net.edge_pred_layer', fixed_rbf(dist))
             e_w = 1.0 / (1.0 + np.exp(-logits))
@@ -619,8 +621,9 @@ def make_reference_state_dict(rng, cfg, num_classes, num_bond_classes,
                    else cfg.get('num_r_gaussian', 20) + H)
         lin('bond_inference.0', bond_in, H)
         lin('bond_inference.2', H, num_bond_classes)
-    if cfg.get('use_global_ew', True):
-        mlp('refine_net.edge_pred_layer', 20, 1)
+    # use_global_ew is not a real reference knob for the bond net (never
+    # forwarded; always constructor-default True)
+    mlp('refine_net.edge_pred_layer', 20, 1)
     bond_kv = H + 20 * 2 + 13 + (2 * H if include_h else 0)
     bond_q = 2 * H if include_h else H
     for l in range(cfg['num_layers']):
@@ -807,7 +810,19 @@ def decomp_forward_prior(sd, cfg, num_classes, num_bond_classes,
     """add_prior_node topology over uni_o2_bond (ref decompdiff.py:241-316):
     prior dummies embed linspace(0,5,20) RBFs of their std, carry a 3-way
     indicator, count as ligand for edge typing, and never move. prior_stds
-    here are per-node scalars."""
+    here are per-node scalars.
+
+    DELIBERATE DIVERGENCE from the torch reference (documented in
+    PARITY.md): the reference's prior_stds arrive [n_prior, 3] and
+    GaussianSmearing's dist.view(-1, 1) (ref models/common.py:30) expands
+    them to 3*n_prior rows, of which compose_context_with_prior keeps only
+    the first n_prior (ref models/common.py:222) — so reference prior node
+    k is embedded with the std of node k//3, a BATCH-GLOBAL index that
+    crosses graph boundaries and depends on how the torch collator
+    flattened the batch. That scramble is an unintended artifact, cannot be
+    expressed in per-graph padded batching, and is unreachable by released
+    configs (training.yml sets add_prior_node: False); this oracle and the
+    production model both use the intended per-node std."""
     assert cfg.get('add_prior_node', False)
     v_onehot = np.eye(num_classes)[ligand_v]
     lig_feat = np.concatenate([v_onehot, ligand_v_aux], -1)

@@ -202,3 +202,23 @@ def test_clean_crossdocked_extracts_selected_pose(tmp_path):
                       'rmsd': 0.4}]
     got = parse_sdf_file(str(dest / 'POC' / 'lig_tt_docked_1.sdf'))
     assert np.allclose(got.pos[:, 2], 1.0)   # pose index 1, not 0 or 2
+
+
+# ----------------------------------------------------------------- config
+
+def test_config_to_dict_recurses_nested_lists(tmp_path):
+    """to_dict must unwrap Config objects at ANY list nesting depth
+    (round-3 review: a dict two list levels down stayed a Config and
+    yaml.safe_dump raised RepresenterError in save_config)."""
+    import yaml
+
+    from decompdiff_tpu.config import Config, save_config
+    cfg = Config({'deep': [[{'y': 2}]], 'flat': [1, 2],
+                  'sub': {'tables': [[{'bins': [0.1]}], 'x']}})
+    d = cfg.to_dict()
+    assert d['deep'][0][0] == {'y': 2}
+    assert type(d['deep'][0][0]) is dict
+    assert type(d['sub']['tables'][0][0]) is dict
+    out = tmp_path / 'c.yml'
+    save_config(cfg, str(out))   # must not raise RepresenterError
+    assert yaml.safe_load(open(out))['deep'][0][0]['y'] == 2

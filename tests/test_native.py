@@ -72,3 +72,38 @@ def test_native_bond_perception_matches_python():
     expected = {(a, b) for a in range(n) for b in range(a + 1, n)
                 if 0.4 < d[a, b] < cutoff[a, b]}
     assert got == expected
+
+
+def test_pdbprotein_native_path_matches_fallback(monkeypatch):
+    """PDBProtein._enum_atom_lines routes through the native parser when
+    available (round-3 review wired it in); the two paths must produce
+    identical atom/residue tables."""
+    from decompdiff_tpu.data.protein import PDBProtein
+    from tests.test_data_layer import PDB_BLOCK
+    p_nat = PDBProtein(PDB_BLOCK, mode='block')
+    monkeypatch.setattr(native, 'parse_pdb_atoms_native',
+                        lambda *a, **k: None)
+    p_py = PDBProtein(PDB_BLOCK, mode='block')
+    assert p_nat.atom_name == p_py.atom_name
+    np.testing.assert_array_equal(p_nat.element, p_py.element)
+    np.testing.assert_allclose(np.asarray(p_nat.pos), np.asarray(p_py.pos),
+                               atol=2e-5)
+    assert p_nat.atom_to_aa_type == p_py.atom_to_aa_type
+    assert p_nat.is_backbone == p_py.is_backbone
+    assert len(p_nat.residues) == len(p_py.residues)
+    assert p_nat.title == p_py.title
+
+
+def test_connect_the_dots_native_matches_numpy(monkeypatch):
+    """The reconstruction candidate stage uses the native pair scan when
+    available; bond dicts must match the numpy fallback exactly."""
+    from decompdiff_tpu.reconstruct import ligan
+    rng = np.random.default_rng(2)
+    pos = rng.normal(size=(14, 3)) * 1.5
+    element = rng.choice([6, 7, 8, 16], size=14)
+    b_nat = ligan.connect_the_dots(pos, element)
+    monkeypatch.setattr(native, 'perceive_bonds_native',
+                        lambda *a, **k: None)
+    b_py = ligan.connect_the_dots(pos, element)
+    assert b_nat == b_py
+    assert b_nat  # non-trivial fixture: at least one bond survived

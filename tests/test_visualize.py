@@ -131,13 +131,28 @@ def test_generated_xyz_v2_centers_and_subpockets(viz, tmp_path):
 
 
 def test_generated_xyz_from_result_dict(viz, tmp_path):
+    """Consumes the ACTUAL scripts/sample.py entry contract (round-3 review:
+    the helper used to read keys sample.py never writes): pred_pos + pred_v
+    atom-class indices mapped via atom_mode, protein_path possibly None with
+    src_protein_filename fallback."""
     pdb = tmp_path / 'p.pdb'
     pdb.write_text(PDB_BLOCK)
-    result = {'pos': np.zeros((3, 3)), 'element': np.array([6, 7, 8]),
+    result = {'pred_pos': np.zeros((3, 3)),
+              'pred_v': np.array([1, 2, 3]),   # basic classes C/N/O
               'protein_path': str(pdb)}
     view = viz.visualize_generated_xyz(result)
     assert view.models[0][1] == 'xyz'
     assert view.models[1][1] == 'pdb'
+    # fallback: protein_path None -> src_protein_filename under root
+    result2 = {'pred_pos': np.zeros((3, 3)), 'pred_v': np.array([1, 2, 3]),
+               'protein_path': None, 'src_protein_filename': 'p.pdb'}
+    view2 = viz.visualize_generated_xyz(result2, root=str(tmp_path))
+    assert view2.models[1][1] == 'pdb'
+    import pytest
+    with pytest.raises(ValueError, match='protein path'):
+        viz.visualize_generated_xyz({'pred_pos': np.zeros((1, 3)),
+                                     'pred_v': np.array([1]),
+                                     'protein_path': None})
 
 
 def test_generated_sdf_and_arms(viz, tmp_path):
