@@ -319,3 +319,53 @@ def test_evaluate_driver_vina_full(tmp_path, monkeypatch, fake_vina_env):
     assert summary['high_affinity'] == 1.0
     # QED 0.5 > 0.25, SA 0.7 > 0.59, dock -8.5 < -8.18 for all 4
     assert summary['success_rate'] == 1.0
+
+
+def test_evaluate_driver_filters_incomplete_and_failed(
+        tmp_path, monkeypatch, fake_vina_env):
+    """The reference protocol excludes disconnected molecules and samples
+    whose chem scoring fails from EVERY statistic (ref
+    evaluate_mol_from_meta_full.py:73-108); round-3 review regression."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), 'scripts'))
+    import evaluate as evaluate_mod
+
+    rng = np.random.default_rng(4)
+    results = []
+    for i in range(4):
+        mol = _mol_record(rng)
+        results.append({
+            'mol': mol,
+            'complete': i != 1,          # sample 1 is disconnected
+            'pred_pos': np.asarray(mol.pos),
+            'pred_v': np.zeros(mol.num_atoms, np.int64),
+            'ligand_filename': 'POCKET/1abc_A_rec_lig.sdf',
+            'protein_path': fake_vina_env,
+        })
+    # sample 2's chem scoring raises (flag survives pickling on the mol)
+    results[2]['mol'].props['chem_poison'] = True
+    outdir = tmp_path / 'out'
+    outdir.mkdir()
+    with open(outdir / 'result_0.pkl', 'wb') as f:
+        pickle.dump({'results': results, 'atom_mode': 'basic'}, f)
+
+    from decompdiff_tpu.evaluation import scoring
+    monkeypatch.setattr(scoring, 'can_score', lambda mol: True)
+
+    def fake_chem(mol):
+        if getattr(mol, 'props', {}).get('chem_poison'):
+            raise RuntimeError('sanitize failed')
+        return {'qed': 0.5, 'sa': 0.7, 'logp': 1.0, 'lipinski': 5}
+
+    monkeypatch.setattr(scoring, 'get_chem', fake_chem)
+
+    summary = evaluate_mod.main([
+        str(outdir), '--docking_mode', 'vina_full',
+        '--tmp_dir', str(tmp_path)])
+
+    # only samples 0 and 3 survive: 1 is incomplete, 2 failed chem
+    assert summary['n_recon'] == 4
+    assert summary['n_complete'] == 3
+    assert summary['n_dock_success'] == 2
+    assert len(summary['chem']) == 2
+    assert len(summary['vina']) == 2
