@@ -380,7 +380,10 @@ class UniTransformerO2(nn.Module):
         # would otherwise degrade the tile fallback to 1-2); same scheme as
         # UniTransformerBond.__call__, pad nodes masked out and sliced below
         N0 = h.shape[1]
-        pad_n = (-N0) % 64 if (use_pallas and N0 >= 64) else 0
+        # pad UNCONDITIONALLY (round-3 review): an unpadded small
+        # context would push the edge kernels into non-multiple-of-8
+        # tile fallbacks that Mosaic rejects at TPU compile time
+        pad_n = (-N0) % 64 if use_pallas else 0
         if pad_n:
             def _pad(a, value=0):
                 widths = [(0, 0), (0, pad_n)] + [(0, 0)] * (a.ndim - 2)

@@ -302,7 +302,9 @@ class NodeBondAttention(nn.Module):
         if self.use_pallas:
             from decompdiff_tpu.ops.pallas.bond_kernel import (
                 bond_attention_pallas)
-            rel_dummy = jnp.zeros(h_bond.shape[:-1] + (4,), jnp.float32)
+            # node mode never reads rel: a [B, 1, 1, 4] dummy keeps the
+            # kernel from DMAing a dead [Nl, Nl, 4] block per program
+            rel_dummy = jnp.zeros((h_bond.shape[0], 1, 1, 4), jnp.float32)
             out = bond_attention_pallas(
                 h_bond.astype(jnp.float32), h_lig.astype(jnp.float32),
                 rel_dummy, q.astype(jnp.float32),
@@ -713,7 +715,10 @@ class UniTransformerBond(nn.Module):
         # with the extra masked nodes (the pad nodes are never selected by
         # kNN and their outputs are sliced away below)
         N0 = h.shape[1]
-        pad_n = (-N0) % 64 if (self.use_pallas and N0 >= 64) else 0
+        # pad UNCONDITIONALLY (round-3 review): an unpadded small
+        # context would push the edge kernels into non-multiple-of-8
+        # tile fallbacks that Mosaic rejects at TPU compile time
+        pad_n = (-N0) % 64 if self.use_pallas else 0
         if pad_n:
             def _pad(a, value=0):
                 widths = [(0, 0), (0, pad_n)] + [(0, 0)] * (a.ndim - 2)

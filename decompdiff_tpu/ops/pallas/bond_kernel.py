@@ -100,10 +100,13 @@ def _specs(B, Nl, H, n_heads, pos_mode):
         return pl.BlockSpec(shape, lambda b: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    # node mode never reads rel: callers pass a [B, 1, 1, 4] dummy and the
+    # block shrinks with it — no dead [Nl, Nl, 4] DMA per program
+    rel_block = (1, Nl, Nl, 4) if pos_mode else (1, 1, 1, 4)
     in_specs = [
         pl.BlockSpec((1, Nl, Nl, H), b4, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Nl, H), b3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Nl, Nl, 4), b4, memory_space=pltpu.VMEM),
+        pl.BlockSpec(rel_block, b4, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Nl, H), b3, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Nl, Nl), b3, memory_space=pltpu.VMEM),
         w_spec((H, n_heads)),
@@ -310,7 +313,7 @@ def _bond_bwd_call(n_heads, pos_mode, g, h_bond, h_lig, rel_pad, q,
     out_shapes = (
         jax.ShapeDtypeStruct((B, Nl, Nl, H), f32),    # d_hbond
         jax.ShapeDtypeStruct((B, Nl, H), f32),        # d_h
-        jax.ShapeDtypeStruct((B, Nl, Nl, 4), f32),    # d_rel
+        jax.ShapeDtypeStruct(rel_pad.shape, f32),     # d_rel (tiny in node mode)
         jax.ShapeDtypeStruct((B, Nl, H), f32),        # d_q
         jax.ShapeDtypeStruct((H, H), f32),            # d_we_k
         jax.ShapeDtypeStruct((H, H), f32),            # d_wi_k
@@ -329,10 +332,11 @@ def _bond_bwd_call(n_heads, pos_mode, g, h_bond, h_lig, rel_pad, q,
         jax.ShapeDtypeStruct((1, H), f32),            # d_lns_v
         jax.ShapeDtypeStruct((1, H), f32),            # d_lnb_v
     )
+    rel_block = (1, Nl, Nl, 4) if pos_mode else (1, 1, 1, 4)
     out_specs = (
         pl.BlockSpec((1, Nl, Nl, H), b4, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Nl, H), b3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Nl, Nl, 4), b4, memory_space=pltpu.VMEM),
+        pl.BlockSpec(rel_block, b4, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Nl, H), b3, memory_space=pltpu.VMEM),
         w_spec((H, H)), w_spec((H, H)), w_spec((H, H)), w_spec((H, H)),
         w_spec((1, H)), w_spec((1, H)), w_spec((1, H)), w_spec((1, H)),

@@ -15,3 +15,11 @@ def lane_mean(x):
     ones_h = jnp.full((H, H), 1.0 / H, jnp.float32)
     return jnp.dot(x.reshape(-1, H), ones_h,
                    preferred_element_type=jnp.float32).reshape(x.shape)
+
+
+def head_matrix(H: int, n_heads: int):
+    """[H, H] same-head indicator: hh[i, j] = 1 iff i, j belong to the same
+    attention head. Shared by the edge and triplet kernels (the in-kernel
+    head softmax is an hh matmul instead of a lane-splitting reshape)."""
+    head_id = jnp.arange(H) // (H // n_heads)
+    return (head_id[:, None] == head_id[None, :]).astype(jnp.float32)

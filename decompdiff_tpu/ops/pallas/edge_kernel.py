@@ -50,6 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from decompdiff_tpu.models.common import FIXED_RBF_OFFSETS
+from decompdiff_tpu.ops.pallas.common import head_matrix
 from decompdiff_tpu.ops.pallas.common import lane_mean as _lane_mean
 
 EDGE_FEAT_PAD = 128  # 4*21 = 84 (or 6*21 = 126) rows used, zero-padded
@@ -291,7 +292,6 @@ def _edge_bwd_kernel(g_ref, xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref,
     # contraction at the bottom (Mosaic has no scatter op)
     H = wjk_ref.shape[0]
     hjT_h, xs = _split_hjT(tab_ref[0], idxT_ref, T, K, gather_bf16, H)
-    Hx = H + (8 if gather_bf16 else 4)
     hd = H // n_heads
     TK = T * K
 
@@ -731,10 +731,20 @@ def edge_attention_pallas(xd4, mld, idx_flat, gsrc_flat, e_w, nbr_mask,
             while N % tile != 0:
                 tile //= 2
     assert N % tile == 0, (N, tile)
+    if jax.default_backend() != 'cpu' and (
+            tile % 8 != 0 or (tile * K) % 128 != 0):
+        # fail loudly BEFORE Mosaic does: block sublane dims must divide by
+        # 8, and _gather_cols needs the per-block edge count (tile*K) in
+        # full 128-lane windows (its ragged-tail concat canonicalizes into
+        # a layout Mosaic rejects). Interpret mode (CPU tests) has neither
+        # constraint. UniTransformer*'s unconditional pad-to-64 keeps
+        # released shapes (tile 64, k 32) clear of both.
+        raise ValueError(
+            f'edge kernel cannot compile on TPU: tile={tile} (from N={N}) '
+            f'with K={K} needs tile % 8 == 0 and (tile*K) % 128 == 0 — pad '
+            'the context to a 64-multiple and use an even k')
 
-    hd = H // n_heads
-    head_id = jnp.arange(H) // hd
-    hh = (head_id[:, None] == head_id[None, :]).astype(jnp.float32)  # [H, H]
+    hh = head_matrix(H, n_heads)  # [H, H] same-head indicator
 
     # transposed, padded node table (features to a 16-multiple of sublanes,
     # nodes to a 128-multiple of lanes) + lane-major indices for the

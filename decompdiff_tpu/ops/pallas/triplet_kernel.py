@@ -29,6 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from decompdiff_tpu.ops.pallas.common import head_matrix as _head_matrix
 from decompdiff_tpu.ops.pallas.common import lane_mean as _lane_mean
 
 ANG_PAD = 16  # 13-dim angular code padded to a lane-friendly 16
@@ -166,11 +167,6 @@ def _pick_i_block(i_block: int, Nl: int) -> int:
     while Nl % IB != 0:
         IB //= 2
     return IB
-
-
-def _head_matrix(H: int, n_heads: int):
-    head_id = jnp.arange(H) // (H // n_heads)
-    return (head_id[:, None] == head_id[None, :]).astype(jnp.float32)
 
 
 def _fwd_call(n_heads, bf16, IB, angle, tkj_k, tij_k, tkj_v, tij_v, q,

@@ -53,6 +53,10 @@ def test_training_from_scratch_reaches_quality(tmp_path):
     test_committed_training_artifact above."""
     env = dict(os.environ)
     env.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/decompdiff_tpu_jax_cache')
+    # force CPU explicitly (test_integration.run() does the same): without
+    # it the subprocess initializes whatever backend plugin exists — on the
+    # dead-tunnel host the axon plugin fails setup with UNAVAILABLE
+    env['JAX_PLATFORMS'] = 'cpu'
     store = str(tmp_path / 'synth256.ddstore')
     subprocess.run([sys.executable, 'scripts/make_synthetic_data.py',
                     '--out', store, '--n', '256', '--seed', '0'],
