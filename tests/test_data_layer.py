@@ -256,3 +256,31 @@ def test_random_rot_rotates_prior_anchors():
     after.append(np.linalg.norm(rec['prior_centers'][-1]
                                 - lig_rot[atom_mask == -1].mean(0)))
     np.testing.assert_allclose(np.array(after), before, rtol=1e-4, atol=1e-4)
+
+
+def test_degenerate_ligands_through_pipeline():
+    """Real-data hardening: bond-less ligands, 3-atom ligands, and
+    single-arm decompositions must featurize, collate (mixed batch), and
+    produce finite losses — the shapes CrossDocked's long tail will hit."""
+    import jax
+
+    from decompdiff_tpu.models.diffusion_model import DecompDiffModel
+    from decompdiff_tpu.utils.testing import tiny_model_config
+
+    rng = np.random.default_rng(0)
+    raw = _raw_sample(rng, 30, 9, 2)
+    raw['ligand_bond_index'] = np.zeros((2, 0), np.int64)
+    raw['ligand_bond_type'] = np.zeros((0,), np.int64)
+    rec_nobond = featurize_sample(raw, 'ref_prior')
+    assert rec_nobond['bond_type'].sum() == 0
+    rec_tiny = featurize_sample(_raw_sample(rng, 30, 3, 2), 'ref_prior')
+    rec_onearm = featurize_sample(_raw_sample(rng, 30, 6, 1), 'ref_prior')
+
+    batch = collate([rec_nobond, rec_tiny, rec_onearm])
+    assert batch.batch_size == 3
+
+    model = DecompDiffModel.create(tiny_model_config(), num_classes=8)
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    out = model.get_diffusion_loss(params, jax.random.PRNGKey(1), batch)
+    for k, v in out['losses'].items():
+        assert np.isfinite(float(v)), (k, v)
