@@ -21,7 +21,7 @@ def get_auroc(y_true, y_pred_prob, feat_mode: str = 'basic',
     possible = np.unique(y_true)
     for c in possible:
         mask = (y_true == c)
-        if mask.all() or (~mask).any() is False:
+        if mask.all():       # single-class input: AUROC undefined
             continue
         try:
             auroc = roc_auc_score(mask.astype(int), y_pred_prob[:, c])

@@ -44,25 +44,47 @@ class TrainState:
 
 
 def make_optimizer(optimizer_cfg, max_grad_norm: float = 8.0):
-    return optax.chain(
-        optax.clip_by_global_norm(max_grad_norm),
-        optax.inject_hyperparams(optax.adam)(
-            learning_rate=optimizer_cfg.get('lr', 5e-4),
-            b1=optimizer_cfg.get('beta1', 0.95),
-            b2=optimizer_cfg.get('beta2', 0.999),
-        ),
-    )
+    """ref utils/train.py:34-43: torch.optim.Adam(lr, weight_decay, betas),
+    NotImplementedError on any other type. torch's Adam weight_decay is L2
+    ADDED TO THE GRADIENT before the moment updates (not decoupled AdamW),
+    so it maps to add_decayed_weights placed before adam; clipping stays
+    first — the reference clips raw grads before optimizer.step."""
+    opt_type = optimizer_cfg.get('type', 'adam')
+    if opt_type != 'adam':
+        raise NotImplementedError(f'Optimizer not supported: {opt_type}')
+    wd = float(optimizer_cfg.get('weight_decay', 0.0))
+    parts = [optax.clip_by_global_norm(max_grad_norm)]
+    if wd:
+        parts.append(optax.add_decayed_weights(wd))
+    parts.append(optax.inject_hyperparams(optax.adam)(
+        learning_rate=optimizer_cfg.get('lr', 5e-4),
+        b1=optimizer_cfg.get('beta1', 0.95),
+        b2=optimizer_cfg.get('beta2', 0.999),
+    ))
+    return optax.chain(*parts)
+
+
+def _adam_index(opt_state) -> int:
+    """The adam element's position in the chain state shifts when
+    weight_decay inserts add_decayed_weights — locate it by hyperparams."""
+    for i, s in enumerate(opt_state):
+        if hasattr(s, 'hyperparams'):
+            return i
+    raise ValueError('no inject_hyperparams state found in opt_state')
 
 
 def get_learning_rate(opt_state) -> float:
-    return float(opt_state[1].hyperparams['learning_rate'])
+    return float(
+        opt_state[_adam_index(opt_state)].hyperparams['learning_rate'])
 
 
 def set_learning_rate(opt_state, lr: float):
-    inner = opt_state[1]
+    i = _adam_index(opt_state)
+    inner = opt_state[i]
     hyper = dict(inner.hyperparams)
     hyper['learning_rate'] = jnp.asarray(lr, jnp.float32)
-    return (opt_state[0], inner._replace(hyperparams=hyper))
+    return tuple(inner._replace(hyperparams=hyper) if j == i else s
+                 for j, s in enumerate(opt_state))
 
 
 def create_train_state(model: DecompDiffModel, rng, example_batch: ComplexBatch,
@@ -86,11 +108,22 @@ def weighted_loss(losses: dict, weights: dict) -> jnp.ndarray:
     return total
 
 
-def make_train_step(model: DecompDiffModel, tx, train_cfg):
+def make_train_fns(model: DecompDiffModel, tx, train_cfg):
+    """Build (train_step, grad_step, apply_grads).
+
+    `train_step` is the fused single-batch step. `grad_step` + `apply_grads`
+    support gradient accumulation over n_acc_batch micro-batches (ref
+    scripts/train_diffusion_decomp.py:159-196: per-micro loss / n_acc and
+    backward, ONE clip + optimizer step on the accumulated grads — here the
+    driver sums grad_step outputs and apply_grads divides by n_acc, which is
+    the same mean). Micro-batches may come from different size buckets, so
+    accumulation runs as a host loop of jitted grad_steps rather than a
+    stacked scan."""
     loss_weights = dict(train_cfg.get('loss_weights',
                                       {'pos': 1.0, 'v': 100.0, 'bond': 100.0}))
     pos_noise_std = float(train_cfg.get('pos_noise_std', 0.1))
     prior_noise_std = float(train_cfg.get('prior_noise_std', 0.5))
+    n_acc = int(train_cfg.get('n_acc_batch', 1))
 
     method = train_cfg.get('sample_time_method', 'symmetric')
 
@@ -102,8 +135,7 @@ def make_train_step(model: DecompDiffModel, tx, train_cfg):
         metrics['loss'] = loss
         return loss, (metrics, out['time_step'], out['per_graph_pos_loss'])
 
-    @jax.jit
-    def train_step(state: TrainState, batch: ComplexBatch, rng):
+    def _jitter_grads(state: TrainState, batch: ComplexBatch, rng):
         rng_prot, rng_prior, rng_t, rng_t2, rng_loss = jax.random.split(rng, 5)
         # input jitter (ref scripts/train_diffusion_decomp.py:160-164)
         batch = batch.replace(
@@ -138,29 +170,60 @@ def make_train_step(model: DecompDiffModel, tx, train_cfg):
 
         (_, (metrics, t_used, per_graph)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, rng_loss, batch, time_step)
+        return grads, metrics, t_used, per_graph
+
+    def _lt_update(lt_history, lt_count, t_used, per_graph):
+        if lt_history is None:
+            return lt_history, lt_count
+        # rolling EMA of squared per-graph pos loss per timestep
+        # (improved-DDPM importance scheme; the reference registers the
+        # buffers but never updates them, ref :506-507 commented out)
+        T = lt_history.shape[0]
+        sq = jax.lax.stop_gradient(per_graph) ** 2
+        sums = jnp.zeros((T,), lt_history.dtype).at[t_used].add(sq)
+        cnts = jnp.zeros((T,), lt_count.dtype).at[t_used].add(1.0)
+        step_mean = sums / jnp.maximum(cnts, 1.0)
+        decay = 0.9
+        lt_history = jnp.where(
+            cnts > 0, decay * lt_history + (1 - decay) * step_mean,
+            lt_history)
+        return lt_history, lt_count + cnts
+
+    @jax.jit
+    def train_step(state: TrainState, batch: ComplexBatch, rng):
+        grads, metrics, t_used, per_graph = _jitter_grads(state, batch, rng)
         metrics['grad_norm'] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-
-        lt_history, lt_count = state.lt_history, state.lt_count
-        if lt_history is not None:
-            # rolling EMA of squared per-graph pos loss per timestep
-            # (improved-DDPM importance scheme; the reference registers the
-            # buffers but never updates them, ref :506-507 commented out)
-            sq = jax.lax.stop_gradient(per_graph) ** 2
-            sums = jnp.zeros((T,), lt_history.dtype).at[t_used].add(sq)
-            cnts = jnp.zeros((T,), lt_count.dtype).at[t_used].add(1.0)
-            step_mean = sums / jnp.maximum(cnts, 1.0)
-            decay = 0.9
-            lt_history = jnp.where(
-                cnts > 0, decay * lt_history + (1 - decay) * step_mean,
-                lt_history)
-            lt_count = lt_count + cnts
+        lt_history, lt_count = _lt_update(state.lt_history, state.lt_count,
+                                          t_used, per_graph)
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state, lt_history=lt_history,
                           lt_count=lt_count), metrics
 
-    return train_step
+    @jax.jit
+    def grad_step(state: TrainState, batch: ComplexBatch, rng):
+        return _jitter_grads(state, batch, rng)
+
+    @jax.jit
+    def apply_grads(state: TrainState, grads_sum, t_used, per_graph):
+        """grads_sum over n_acc micro-batches -> mean, clip, update.
+        t_used/per_graph are the concatenation over micros."""
+        grads = jax.tree.map(lambda g: g / n_acc, grads_sum)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        lt_history, lt_count = _lt_update(state.lt_history, state.lt_count,
+                                          t_used, per_graph)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state, lt_history=lt_history,
+                          lt_count=lt_count), grad_norm
+
+    return train_step, grad_step, apply_grads
+
+
+def make_train_step(model: DecompDiffModel, tx, train_cfg):
+    return make_train_fns(model, tx, train_cfg)[0]
 
 
 def make_eval_step(model: DecompDiffModel, train_cfg):
@@ -184,17 +247,28 @@ def make_eval_step(model: DecompDiffModel, train_cfg):
 class PlateauScheduler:
     """Host-side reduce-on-plateau (ref utils/train.py:46-56 wiring of
     torch.optim.lr_scheduler.ReduceLROnPlateau, factor/patience/min_lr from
-    config)."""
+    config). Matches torch's default RELATIVE improvement threshold
+    (threshold=1e-4, mode 'min', threshold_mode 'rel'): an improvement only
+    counts when val < best * (1 - threshold) — without it, noise-level
+    1e-5 dips keep resetting patience and the LR never drops on a real
+    plateau."""
 
-    def __init__(self, factor=0.6, patience=10, min_lr=1e-6):
+    def __init__(self, factor=0.6, patience=10, min_lr=1e-6,
+                 threshold=1e-4):
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr
+        self.threshold = threshold
         self.best: Optional[float] = None
         self.num_bad = 0
 
+    def _is_better(self, val_loss: float) -> bool:
+        if self.best is None:
+            return True
+        return val_loss < self.best * (1.0 - self.threshold)
+
     def step(self, val_loss: float, current_lr: float) -> float:
-        if self.best is None or val_loss < self.best:
+        if self._is_better(val_loss):
             self.best = val_loss
             self.num_bad = 0
             return current_lr
@@ -207,7 +281,7 @@ class PlateauScheduler:
     def state_dict(self):
         return {'best': self.best, 'num_bad': self.num_bad,
                 'factor': self.factor, 'patience': self.patience,
-                'min_lr': self.min_lr}
+                'min_lr': self.min_lr, 'threshold': self.threshold}
 
     def load_state_dict(self, d):
         self.best = d['best']
@@ -215,3 +289,4 @@ class PlateauScheduler:
         self.factor = d.get('factor', self.factor)
         self.patience = d.get('patience', self.patience)
         self.min_lr = d.get('min_lr', self.min_lr)
+        self.threshold = d.get('threshold', self.threshold)

@@ -39,6 +39,7 @@ def main():
     from decompdiff_tpu.utils.platform import apply_platform_env
     apply_platform_env()
     import jax
+    import jax.numpy as jnp
 
     from decompdiff_tpu.config import load_config, save_config
     from decompdiff_tpu.constants import atom_class_count
@@ -50,10 +51,11 @@ def main():
     from decompdiff_tpu.training.metrics import get_auroc, get_bond_auroc
     from decompdiff_tpu.training.train_step import (
         PlateauScheduler, create_train_state, get_learning_rate,
-        make_eval_step, make_train_step, set_learning_rate)
+        make_eval_step, make_train_fns, set_learning_rate)
     from decompdiff_tpu.utils.checkpoint import (
         load_checkpoint, restore_train_state, save_checkpoint)
-    from decompdiff_tpu.utils.metrics_logger import MetricsLogger
+    from decompdiff_tpu.utils.metrics_logger import (MetricsLogger,
+                                                      ValidationLossTape)
     from decompdiff_tpu.utils.misc import (
         count_parameters, get_logger, get_new_log_dir, seed_all)
 
@@ -90,8 +92,18 @@ def main():
 
     batch_size = config.train.batch_size
     num_workers = int(config.train.get('num_workers', 4))  # ref training.yml:67
+    # peek the resume checkpoint before building the loader: a resumed run
+    # must not REPLAY the epoch-0 shuffle order (exact in-epoch position is
+    # not checkpointed — infinite shuffled stream — but reseeding by the
+    # resume iteration gives a fresh, non-repeating order)
+    resume_ckpt = None
+    start_iter = 1
+    if args.resume:
+        resume_ckpt = load_checkpoint(args.resume)
+        start_iter = resume_ckpt['iteration'] + 1
     train_loader = BucketedLoader(dataset, split['train'], batch_size,
-                                  shuffle=True, seed=config.train.seed,
+                                  shuffle=True,
+                                  seed=config.train.seed + start_iter - 1,
                                   num_threads=num_workers)
     train_iter = iter(train_loader)
 
@@ -108,14 +120,24 @@ def main():
     scheduler = PlateauScheduler(
         factor=config.train.scheduler.get('factor', 0.6),
         patience=config.train.scheduler.get('patience', 10),
-        min_lr=config.train.scheduler.get('min_lr', 1e-6))
-    start_iter = 1
-    if args.resume:
-        ckpt = load_checkpoint(args.resume)
-        state = restore_train_state(ckpt, state)
-        scheduler.load_state_dict(ckpt['scheduler'])
-        start_iter = ckpt['iteration'] + 1
-        logger.info(f'resumed from {args.resume} at iteration {start_iter}')
+        min_lr=config.train.scheduler.get('min_lr', 1e-6),
+        threshold=config.train.scheduler.get('threshold', 1e-4))
+    resumed_rng = None
+    best_loss, best_iter = None, None
+    if resume_ckpt is not None:
+        state = restore_train_state(resume_ckpt, state)
+        scheduler.load_state_dict(resume_ckpt['scheduler'])
+        extra = resume_ckpt.get('extra', {})
+        # continue the training rng stream and the best-checkpoint tracking
+        # where they stopped — otherwise a resumed run replays iteration-1
+        # randomness and unconditionally crowns its first validation "best"
+        if extra.get('rng') is not None:
+            resumed_rng = jnp.asarray(np.asarray(extra['rng']))
+        best_loss = extra.get('best_loss')
+        best_iter = extra.get('best_iter')
+        logger.info(f'resumed from {args.resume} at iteration {start_iter}'
+                    + (f' (best val {best_loss:.6f} @ {best_iter})'
+                       if best_loss is not None else ''))
 
     # dp mesh (all visible devices); requires the batch to divide evenly
     n_dev = jax.device_count()
@@ -132,9 +154,19 @@ def main():
     train_cfg_full.setdefault(
         'sample_time_method',
         config.model.get('sample_time_method', 'symmetric'))
-    train_step = make_train_step(model, tx, train_cfg_full)
+    train_step, grad_step, apply_grads = make_train_fns(
+        model, tx, train_cfg_full)
+    n_acc = int(config.train.get('n_acc_batch', 1))
     eval_step = make_eval_step(model, config.train)
-    rng = jax.random.PRNGKey(config.train.seed)
+    if resumed_rng is not None:
+        rng = resumed_rng
+    elif start_iter > 1:
+        # old checkpoint without a saved rng: at least don't replay the
+        # iteration-1 stream
+        rng = jax.random.fold_in(jax.random.PRNGKey(config.train.seed),
+                                 start_iter)
+    else:
+        rng = jax.random.PRNGKey(config.train.seed)
 
     # Validation wall-time fixes (a fresh loader per call used to
     # re-featurize the whole split and a host sync ran per (batch, t),
@@ -169,17 +201,14 @@ def main():
         return gen()
 
     def validate(it):
-        losses, n = {}, 0
+        tape = ValidationLossTape()     # ref utils/train.py:97-124
         all_pred_v, all_true_v = [], []
         all_pred_b, all_true_b = [], []
         window = []
 
         def drain_one():
-            nonlocal n
             batch, (metrics, v_recon, b_recon) = window.pop(0)
-            for k, v in metrics.items():
-                losses[k] = losses.get(k, 0.0) + float(v)
-            n += 1
+            tape.update(metrics, weight=1)
             lm = np.asarray(batch.ligand_mask)
             all_pred_v.append(np.asarray(v_recon)[lm])
             all_true_v.append(np.asarray(batch.ligand_v)[lm])
@@ -188,15 +217,20 @@ def main():
                 all_pred_b.append(np.asarray(b_recon)[bm])
                 all_true_b.append(np.asarray(batch.bond_type)[bm])
 
-        for batch in _val_batch_stream():
+        vkey = jax.random.PRNGKey(it)
+        for bi, batch in enumerate(_val_batch_stream()):
             for t in np.linspace(0, model.num_timesteps - 1, 10).astype(int):
+                # fresh noise per (batch, t) — a shared key would correlate
+                # all 10 grid losses (the reference draws from the global
+                # torch rng per call, ref train_diffusion_decomp.py:223-250)
+                k = jax.random.fold_in(jax.random.fold_in(vkey, bi), int(t))
                 window.append((batch, eval_step(
-                    state.params, batch, int(t), jax.random.PRNGKey(it))))
+                    state.params, batch, int(t), k)))
                 if len(window) > 16:
                     drain_one()
         while window:
             drain_one()
-        losses = {k: v / max(n, 1) for k, v in losses.items()}
+        losses = tape.averages()
         atom_auroc = get_auroc(np.concatenate(all_true_v),
                                np.concatenate(all_pred_v))
         bond_auroc = (get_bond_auroc(np.concatenate(all_true_b),
@@ -211,7 +245,6 @@ def main():
 
     max_iters = args.max_iters or config.train.max_iters
     val_freq = args.val_freq or config.train.val_freq
-    best_loss, best_iter = None, None
 
     # async checkpointing: device->host transfer + pickle of the full state
     # runs on a worker thread so training keeps dispatching (the state
@@ -225,10 +258,10 @@ def main():
     ckpt_thread = None
     ckpt_error: list = []
 
-    def _save_worker(path, state_snapshot, sched_state, it):
+    def _save_worker(path, state_snapshot, sched_state, it, extra):
         try:
             save_checkpoint(path, config.to_dict(), state_snapshot,
-                            sched_state, it)
+                            sched_state, it, extra=extra)
         except BaseException as e:
             ckpt_error.append(e)
 
@@ -241,25 +274,52 @@ def main():
             raise RuntimeError(
                 'async checkpoint save failed') from ckpt_error[0]
 
-    def save_async(path, state_snapshot, sched_state, it):
+    def save_async(path, state_snapshot, sched_state, it, extra=None):
         nonlocal ckpt_thread
         join_ckpt()
         ckpt_thread = threading.Thread(
             target=_save_worker,
-            args=(path, state_snapshot, sched_state, it),
+            args=(path, state_snapshot, sched_state, it, extra),
             daemon=False)
         ckpt_thread.start()
 
     try:
         for it in range(start_iter, max_iters + 1):
-            batch = next(train_iter)
-            if mesh:
-                batch = shard_batch(batch, mesh)
-            rng, sub = jax.random.split(rng)
             if args.profile_steps and it == 10:
                 jax.profiler.start_trace(os.path.join(log_dir, 'profile'))
+            # NOTE on the OOM catch: with static bucket shapes, a TPU HBM
+            # OOM surfaces SYNCHRONOUSLY at the first compile of a bucket
+            # shape (jit dispatch raises), which this try does catch; a
+            # genuinely async runtime OOM would surface at a later host
+            # sync instead (ref train_diffusion_decomp.py:202-210 catches
+            # torch's synchronous allocator error — same effective scope)
             try:
-                state, metrics = train_step(state, batch, sub)
+                if n_acc <= 1:
+                    batch = next(train_iter)
+                    if mesh:
+                        batch = shard_batch(batch, mesh)
+                    rng, sub = jax.random.split(rng)
+                    state, metrics = train_step(state, batch, sub)
+                else:
+                    # gradient accumulation over n_acc micro-batches: sum
+                    # grads, ONE clip + optimizer step on the mean (ref
+                    # :159-196); metrics report the last micro's losses
+                    # like the reference's loss_dict
+                    grads_sum, t_parts, pg_parts = None, [], []
+                    for _ in range(n_acc):
+                        batch = next(train_iter)
+                        if mesh:
+                            batch = shard_batch(batch, mesh)
+                        rng, sub = jax.random.split(rng)
+                        g, metrics, t_u, pg = grad_step(state, batch, sub)
+                        grads_sum = g if grads_sum is None else jax.tree.map(
+                            jnp.add, grads_sum, g)
+                        t_parts.append(t_u)
+                        pg_parts.append(pg)
+                    state, grad_norm = apply_grads(
+                        state, grads_sum, jnp.concatenate(t_parts),
+                        jnp.concatenate(pg_parts))
+                    metrics['grad_norm'] = grad_norm
             except Exception as e:  # OOM catch-and-skip parity
                 if 'RESOURCE_EXHAUSTED' in str(e) or 'out of memory' in str(e).lower():
                     logger.warning('| WARNING: ran out of memory, skipping batch')
@@ -292,7 +352,10 @@ def main():
                 if best_loss is None or val_loss < best_loss:
                     best_loss, best_iter = val_loss, it
                     path = os.path.join(ckpt_dir, f'{it}.ckpt')
-                    save_async(path, state, scheduler.state_dict(), it)
+                    save_async(path, state, scheduler.state_dict(), it,
+                               extra={'best_loss': best_loss,
+                                      'best_iter': best_iter,
+                                      'rng': np.asarray(rng)})
                     logger.info(f'[val] best val loss {val_loss:.6f}, '
                                 f'saving {path} (async)')
                 else:
