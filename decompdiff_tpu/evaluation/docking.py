@@ -228,15 +228,32 @@ class VinaDockingTask:
             cache = os.path.join(self.tmp_dir, 'ddtpu_receptor_cache')
             os.makedirs(cache, exist_ok=True)
             base = os.path.join(cache, h)
-        dry_pdb, pqr, pdbqt = base + '_dry.pdb', base + '.pqr', base + '.pdbqt'
+        pqr, pdbqt = base + '.pqr', base + '.pdbqt'
         if not os.path.exists(pdbqt):
-            prot = PrepProt(self.protein_path)
-            prot.del_water(dry_pdb)
-            if not os.path.exists(pqr):
-                prot.addH(pqr)
-            else:
-                prot.prot_pqr = pqr
-            prot.get_pdbqt(pdbqt)
+            # prep in a scratch dir and publish each artifact with an
+            # atomic os.replace: a crashed/interrupted subprocess must not
+            # leave a partial file that every later run silently reuses,
+            # and concurrent evaluators racing on the same receptor each
+            # read only complete files (last complete writer wins)
+            # scratch names live BESIDE the destinations (os.replace is
+            # only atomic within a filesystem)
+            suffix = f'.tmp{os.getpid()}'
+            with tempfile.TemporaryDirectory(dir=self.tmp_dir) as td:
+                prot = PrepProt(self.protein_path)
+                prot.del_water(os.path.join(td, 'dry.pdb'))
+                try:
+                    if os.path.exists(pqr):
+                        prot.prot_pqr = pqr
+                    else:
+                        prot.addH(pqr + suffix)
+                        os.replace(pqr + suffix, pqr)
+                        prot.prot_pqr = pqr
+                    prot.get_pdbqt(pdbqt + suffix)
+                    os.replace(pdbqt + suffix, pdbqt)
+                finally:
+                    for leftover in (pqr + suffix, pdbqt + suffix):
+                        if os.path.exists(leftover):
+                            os.unlink(leftover)
         return pdbqt
 
     def run(self, mode: str = 'dock', exhaustiveness: int = 8):

@@ -66,9 +66,10 @@ def get_lib():
         lib.parse_pdb_atoms.argtypes = [
             cp, ctypes.c_int64, ctypes.c_int64, i32p, f32p, i32p,
             cp, cp, cp, cp, cp, cp, i64p, i32p]
+        f64p = ctypes.POINTER(ctypes.c_double)
         lib.perceive_bonds.restype = ctypes.c_int64
         lib.perceive_bonds.argtypes = [
-            f32p, f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+            f64p, f64p, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
             ctypes.c_int64, i32p, i32p]
         _lib = lib
         return _lib
@@ -233,14 +234,15 @@ def perceive_bonds_native(pos: np.ndarray, radii: np.ndarray,
     lib = get_lib()
     if lib is None:
         return None
-    pos = np.ascontiguousarray(pos, np.float32)
-    radii = np.ascontiguousarray(radii, np.float32)
+    # float64 end-to-end: matches the numpy fallback at cutoff boundaries
+    pos = np.ascontiguousarray(pos, np.float64)
+    radii = np.ascontiguousarray(radii, np.float64)
     n = len(pos)
     max_bonds = n * 16 + 16
     src = np.zeros(max_bonds, np.int32)
     dst = np.zeros(max_bonds, np.int32)
-    m = lib.perceive_bonds(_ptr(pos, ctypes.c_float),
-                           _ptr(radii, ctypes.c_float), n,
+    m = lib.perceive_bonds(_ptr(pos, ctypes.c_double),
+                           _ptr(radii, ctypes.c_double), n,
                            stretch, min_d, max_bonds,
                            _ptr(src, ctypes.c_int32),
                            _ptr(dst, ctypes.c_int32))

@@ -165,18 +165,21 @@ int64_t parse_pdb_atoms(const char* text, int64_t text_len, int64_t max_atoms,
 // connect_the_dots). O(n^2) over atom pairs; returns bond count.
 // ---------------------------------------------------------------------------
 
-int64_t perceive_bonds(const float* pos, const float* radii, int64_t n,
-                       float stretch, float min_d, int64_t max_bonds,
+int64_t perceive_bonds(const double* pos, const double* radii, int64_t n,
+                       double stretch, double min_d, int64_t max_bonds,
                        int32_t* bond_src, int32_t* bond_dst) {
+    // double throughout: the numpy fallback computes f64 norms against f64
+    // thresholds, and borderline covalent-cutoff pairs must not differ
+    // between hosts with and without the compiled library
     int64_t m = 0;
-    const float min_d2 = min_d * min_d;
+    const double min_d2 = min_d * min_d;
     for (int64_t i = 0; i < n; ++i) {
         for (int64_t j = i + 1; j < n; ++j) {
-            const float dx = pos[i * 3] - pos[j * 3];
-            const float dy = pos[i * 3 + 1] - pos[j * 3 + 1];
-            const float dz = pos[i * 3 + 2] - pos[j * 3 + 2];
-            const float d2 = dx * dx + dy * dy + dz * dz;
-            const float cut = (radii[i] + radii[j]) * stretch;
+            const double dx = pos[i * 3] - pos[j * 3];
+            const double dy = pos[i * 3 + 1] - pos[j * 3 + 1];
+            const double dz = pos[i * 3 + 2] - pos[j * 3 + 2];
+            const double d2 = dx * dx + dy * dy + dz * dz;
+            const double cut = (radii[i] + radii[j]) * stretch;
             // lower bound inclusive: min_d=0 must admit coincident atoms,
             // matching the numpy candidate stage in ligan.connect_the_dots
             if (d2 < cut * cut && d2 >= min_d2) {

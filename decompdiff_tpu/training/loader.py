@@ -122,8 +122,12 @@ class BucketedLoader:
     def _bucket_loop(self, records, pb, lb, gb, pending):
         # A corpus where EVERY record featurizes but is dropped as oversize
         # would spin the infinite loader forever just like the all-failed
-        # epoch (_record_iter's raise) — detect a full epoch's worth of
-        # consecutive oversize drops and fail loudly instead.
+        # epoch (_record_iter's raise) — detect it via a run of consecutive
+        # oversize drops and fail loudly. Threshold is TWO epochs' worth:
+        # a single-epoch threshold can false-positive across an epoch
+        # boundary (a surviving record FIRST in epoch k and LAST in the
+        # reshuffled epoch k+1 legally yields 2N-2 consecutive drops), while
+        # a truly all-oversize corpus exceeds 2N after two epochs.
         oversize_run = 0
         for rec in records:
             if self._stop.is_set():
@@ -134,12 +138,12 @@ class BucketedLoader:
                 if self.drop_oversize:
                     self.skip_counts['oversize'] += 1
                     oversize_run += 1
-                    if oversize_run >= max(1, len(self.indices)):
+                    if oversize_run >= 2 * max(1, len(self.indices)):
                         raise RuntimeError(
-                            'BucketedLoader: every record in an epoch was '
-                            'dropped as oversize (bucket ladders too small '
-                            'for this corpus); skip counts: '
-                            f'{dict(self.skip_counts)}')
+                            'BucketedLoader: two epochs of records were '
+                            'dropped as oversize with none surviving '
+                            '(bucket ladders too small for this corpus); '
+                            f'skip counts: {dict(self.skip_counts)}')
                     continue
                 raise
             oversize_run = 0

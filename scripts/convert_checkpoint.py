@@ -18,6 +18,27 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _install_easydict_stub():
+    try:
+        import easydict  # noqa: F401
+    except ImportError:
+        import types
+
+        class _EasyDictStub(dict):
+            def __getattr__(self, name):
+                try:
+                    return self[name]
+                except KeyError as e:
+                    raise AttributeError(name) from e
+
+            def __setattr__(self, name, value):
+                self[name] = value
+
+        stub = types.ModuleType('easydict')
+        stub.EasyDict = _EasyDictStub
+        sys.modules['easydict'] = stub
+
+
 def _plain_dict(cfg):
     """Recursively convert the reference config to builtin dicts/lists.
 
@@ -41,29 +62,14 @@ def main():
     from decompdiff_tpu.utils.convert_checkpoint import (
         convert_reference_state_dict, load_reference_checkpoint)
 
+    # unpickling the reference checkpoint requires the easydict class to
+    # exist (its config is an easydict.EasyDict); install a minimal
+    # stand-in BEFORE the first torch.load — load_reference_checkpoint
+    # unpickles the same file
+    _install_easydict_stub()
+
     sd, model_cfg = load_reference_checkpoint(args.ref_ckpt)
     params = convert_reference_state_dict(sd, model_cfg)
-
-    # unpickling the reference config requires the easydict class to exist;
-    # provide a minimal stand-in when the package is absent (this image)
-    try:
-        import easydict  # noqa: F401
-    except ImportError:
-        import types
-
-        class _EasyDictStub(dict):
-            def __getattr__(self, name):
-                try:
-                    return self[name]
-                except KeyError as e:
-                    raise AttributeError(name) from e
-
-            def __setattr__(self, name, value):
-                self[name] = value
-
-        stub = types.ModuleType('easydict')
-        stub.EasyDict = _EasyDictStub
-        sys.modules['easydict'] = stub
 
     import torch
     ref = torch.load(args.ref_ckpt, map_location='cpu', weights_only=False)

@@ -112,12 +112,15 @@ def main(argv=None):
                         protein_path=r.get('protein_path'),
                         exhaustiveness=args.exhaustiveness,
                         tmp_dir=args.tmp_dir)
+                    # affinity extraction belongs in the same per-sample
+                    # try: an empty/malformed vina result (zero poses) must
+                    # skip this sample, not abort the whole evaluation
+                    dock_val = protocol.dock_affinity(vina_results,
+                                                      args.docking_mode)
                 except Exception as e:
                     logger.info(f'docking failed (sample skipped): {e}')
                     continue
                 n_dock_success += 1
-                dock_val = protocol.dock_affinity(vina_results,
-                                                  args.docking_mode)
                 ref_d = ref_vina.get(r.get('ligand_filename', ''))
                 if ref_d is not None and dock_val is not None:
                     ha_flags.append(dock_val < float(ref_d))

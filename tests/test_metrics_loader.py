@@ -226,3 +226,31 @@ def test_bucketed_loader_close_unblocks_consumer():
     gate.set()
     t.join(timeout=10)
     assert done.is_set()
+
+
+def test_bucketed_loader_sparse_good_records_survive():
+    """One good record among oversize ones: the consecutive-oversize
+    detector must NOT fire across epoch boundaries (threshold is two
+    epochs' worth; a single-epoch threshold false-positived when the good
+    record sat first in epoch k and last in epoch k+1)."""
+    rng = np.random.default_rng(6)
+    good = featurize_sample(_raw_sample(rng, 30, 9, 2))
+    big = featurize_sample(_raw_sample(rng, 100, 9, 2))
+
+    class DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return good if i == 0 else big
+
+    loader = BucketedLoader(DS(), range(4), batch_size=1, shuffle=True,
+                            seed=3, infinite=True, protein_buckets=(64,),
+                            ligand_buckets=(16,), group_buckets=(4,))
+    it = iter(loader)
+    # several epochs' worth of batches: only the good record fits, one per
+    # epoch — the loader must keep yielding, not raise
+    for _ in range(4):
+        b = next(it)
+        assert b.batch_size == 1
+    loader.close()
