@@ -61,6 +61,34 @@ def seed_all(seed: int) -> None:
     np.random.seed(seed)
 
 
+def snapshot_source(log_dir: str) -> None:
+    """Copy the decompdiff_tpu package source into the run directory and
+    record the git revision, so every run is reproducible from its own log
+    dir (ref scripts/train_diffusion_decomp.py:86-87 copytree('./models')).
+    Best-effort: a read-only or space-constrained log target must not abort
+    training."""
+    import shutil
+    import subprocess
+    try:
+        import decompdiff_tpu
+        pkg_dir = os.path.dirname(os.path.abspath(decompdiff_tpu.__file__))
+        dst = os.path.join(log_dir, 'source', 'decompdiff_tpu')
+        shutil.copytree(
+            pkg_dir, dst,
+            ignore=shutil.ignore_patterns('__pycache__', '*.pyc', '*.so'),
+            dirs_exist_ok=True)
+        rev = subprocess.run(
+            ['git', '-C', pkg_dir, 'rev-parse', 'HEAD'],
+            capture_output=True, text=True, timeout=10)
+        if rev.returncode == 0:
+            with open(os.path.join(log_dir, 'source', 'GIT_REVISION'),
+                      'w') as f:
+                f.write(rev.stdout)
+    except Exception:
+        logging.getLogger('train').warning(
+            'source snapshot failed (continuing)', exc_info=True)
+
+
 # error taxonomy for the preprocessing fail buckets (ref utils/misc.py:88-105)
 class AlphaSpaceError(Exception):
     pass

@@ -57,7 +57,8 @@ def main():
     from decompdiff_tpu.utils.metrics_logger import (MetricsLogger,
                                                       ValidationLossTape)
     from decompdiff_tpu.utils.misc import (
-        count_parameters, get_logger, get_new_log_dir, seed_all)
+        count_parameters, get_logger, get_new_log_dir, seed_all,
+        snapshot_source)
 
     config = load_config(args.config)
     seed_all(config.train.seed)
@@ -66,6 +67,7 @@ def main():
     os.makedirs(ckpt_dir, exist_ok=True)
     logger = get_logger('train', log_dir)
     save_config(config, os.path.join(log_dir, 'config.yml'))
+    snapshot_source(log_dir)  # ref train_diffusion_decomp.py:86-87
     metrics_logger = MetricsLogger(log_dir)
 
     # --- data ---
@@ -283,10 +285,17 @@ def main():
             daemon=False)
         ckpt_thread.start()
 
+    # profiling window is anchored to the warmup boundary of THIS run, not
+    # absolute iteration 10 — a resumed run (start_iter > 10) would otherwise
+    # never start the trace yet still hit the stop condition, and
+    # jax.profiler.stop_trace() raises when no trace is active
+    profile_start = max(10, start_iter + 1)
+    trace_running = False
     try:
         for it in range(start_iter, max_iters + 1):
-            if args.profile_steps and it == 10:
+            if args.profile_steps and it == profile_start:
                 jax.profiler.start_trace(os.path.join(log_dir, 'profile'))
+                trace_running = True
             # NOTE on the OOM catch: with static bucket shapes, a TPU HBM
             # OOM surfaces SYNCHRONOUSLY at the first compile of a bucket
             # shape (jit dispatch raises), which this try does catch; a
@@ -325,9 +334,10 @@ def main():
                     logger.warning('| WARNING: ran out of memory, skipping batch')
                     continue
                 raise
-            if args.profile_steps and it == 10 + args.profile_steps:
+            if trace_running and it == profile_start + args.profile_steps:
                 jax.block_until_ready(metrics['loss'])
                 jax.profiler.stop_trace()
+                trace_running = False
                 logger.info(f'device trace written to {log_dir}/profile')
             if it % args.report_freq == 0 or it == 1:
                 logger.info(f'[train {it}] ' + ' '.join(
@@ -364,6 +374,13 @@ def main():
     except KeyboardInterrupt:
         logger.info('Terminating...')
     finally:
+        if trace_running:
+            # profile window extended past the end of the run (or an error
+            # aborted it): flush what was captured instead of dropping it
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                logger.exception('failed to stop the profiler trace')
         train_loader.close()
         if sys.exc_info()[1] is not None:
             # an exception is already propagating: a failed async save must

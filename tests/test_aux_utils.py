@@ -48,6 +48,20 @@ def test_get_new_log_dir_and_logger(tmp_path):
     assert 'hello' in open(os.path.join(d, 'log.txt')).read()
 
 
+def test_snapshot_source_copies_package(tmp_path):
+    """Run-dir reproducibility snapshot (ref train_diffusion_decomp.py:86-87
+    copytree('./models')): the package source lands in <log_dir>/source and
+    a failure (read-only target) degrades to a warning, not an abort."""
+    from decompdiff_tpu.utils.misc import snapshot_source
+    snapshot_source(str(tmp_path))
+    dst = tmp_path / 'source' / 'decompdiff_tpu'
+    assert (dst / 'utils' / 'misc.py').is_file()
+    assert (dst / 'models').is_dir()
+    assert not list(dst.rglob('__pycache__'))
+    # best-effort contract: unwritable target must not raise
+    snapshot_source('/proc/definitely-not-writable')
+
+
 def test_seed_all_and_count_parameters():
     from decompdiff_tpu.utils.misc import count_parameters, seed_all
     seed_all(7)
