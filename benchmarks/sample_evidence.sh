@@ -12,10 +12,10 @@ CKPT=${1:?usage: sample_evidence.sh CKPT [OUTDIR]}
 OUT=${2:-benchmarks/artifacts/sample_evidence}
 shift || true; shift || true
 [ -f data/synth256.ddstore ] || python scripts/make_synthetic_data.py --out data/synth256.ddstore --n 256 --seed 0
-for i in 0 1 2 3; do
-  python scripts/sample.py benchmarks/configs/sample_synth256.yml \
-      --ckpt "$CKPT" -i "$i" --outdir "$OUT" --batch_size 8 --use_pallas "$@"
-done
+# one process for all pockets: startup/checkpoint/compiled-scan state is
+# shared, results bit-identical to per-pocket processes (regression-tested)
+python scripts/sample.py benchmarks/configs/sample_synth256.yml \
+    --ckpt "$CKPT" -i 0 1 2 3 --outdir "$OUT" --batch_size 8 --use_pallas "$@"
 python scripts/evaluate.py "$OUT"
 python - "$OUT" <<'EOF'
 import json, pickle, sys

@@ -31,7 +31,13 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('config')
     parser.add_argument('--ckpt', required=True)
-    parser.add_argument('-i', '--data_id', type=int, default=0)
+    parser.add_argument('-i', '--data_id', type=int, nargs='+', default=[0],
+                        help='one or more pocket ids. Passing several ids '
+                             'amortizes process startup, checkpoint load and '
+                             'the compiled 1000-step scan executable across '
+                             'pockets (the jit cache persists in-process); '
+                             'results are bit-identical to running each id '
+                             'in its own process (per-pocket re-seed below)')
     parser.add_argument('--outdir', default='./outputs')
     parser.add_argument('--prior_mode', default=None)
     parser.add_argument('--num_samples', type=int, default=None)
@@ -59,20 +65,11 @@ def main():
 
     from decompdiff_tpu.config import Config, load_config
     from decompdiff_tpu.constants import atom_class_count
-    from decompdiff_tpu.data.batch import FullProtein
-    from decompdiff_tpu.data.collate import collate
     from decompdiff_tpu.data.dataset import DecompDataset
-    from decompdiff_tpu.data.mol import mol_to_sdf_block
     from decompdiff_tpu.data.store import DDStore
     from decompdiff_tpu.models.diffusion_model import DecompDiffModel
-    from decompdiff_tpu.parallel.mesh import make_mesh, shard_batch
     from decompdiff_tpu.priors.atom_num import NumAtomsSampler, load_num_config
-    from decompdiff_tpu.priors.beta import substitute_with_beta_prior
-    from decompdiff_tpu.reconstruct.builder import (
-        MolReconsError, is_connected, mol_record_from_prediction)
-    from decompdiff_tpu.sampling.init import (
-        build_generation_records, init_types_host)
-    from decompdiff_tpu.sampling.sampler import SampleConfig, sample_diffusion
+    from decompdiff_tpu.sampling.sampler import SampleConfig
     from decompdiff_tpu.utils.checkpoint import load_checkpoint
     from decompdiff_tpu.utils.misc import get_logger, seed_all
 
@@ -98,11 +95,7 @@ def main():
     # data
     store = DDStore(sample_cfg_file.data.path)
     dataset = DecompDataset(store, ligand_atom_mode=atom_mode)
-    raw = dataset.get_raw(args.data_id)
     prior_mode = args.prior_mode or scfg.get('prior_mode', 'ref_prior')
-    if prior_mode == 'beta_prior' and scfg.get('beta_prior_path'):
-        raw = substitute_with_beta_prior(
-            raw, scfg.beta_prior_path.format(id=args.data_id))
 
     num_atoms_mode = scfg.get('sample_num_atoms', 'ref')
     if num_atoms_mode == 'prior':
@@ -139,6 +132,53 @@ def main():
                                  model_cfg.get('center_pos_mode', 'protein')),
         energy_drift=energy_drift, **mmff_kwargs)
 
+    num_samples = args.num_samples or scfg.get('num_samples', 10)
+    seed = scfg.get('seed', 2021)
+    if args.protein_path and len(args.data_id) > 1:
+        logger.warning('--protein_path names ONE receptor but %d pocket ids '
+                       'were given; clash guidance and docking provenance '
+                       'will use it for every pocket', len(args.data_id))
+
+    for data_id in args.data_id:
+        run_pocket(args, data_id, seed, num_samples, dataset, prior_mode,
+                   scfg, sample_cfg_file, energy_drift, model, params,
+                   sample_config, num_classes, atom_mode, num_atoms_mode,
+                   arms_cfg, sca_cfg, natoms_sampler, logger)
+
+
+def run_pocket(args, data_id, seed, num_samples, dataset, prior_mode, scfg,
+               sample_cfg_file, energy_drift, model, params, sample_config,
+               num_classes, atom_mode, num_atoms_mode, arms_cfg, sca_cfg,
+               natoms_sampler, logger):
+    """Sample num_samples molecules for one pocket id. Called in a loop when
+    several ids are passed — model/checkpoint/compiled-scan state is shared
+    in-process, and the per-pocket re-seed keeps every pocket's results
+    bit-identical to a fresh `sample.py -i ID` process (the reference drives
+    one process per id, ref sample_diffusion_decomp.py argparse `-i`)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from decompdiff_tpu.data.batch import FullProtein
+    from decompdiff_tpu.data.collate import collate
+    from decompdiff_tpu.data.mol import mol_to_sdf_block
+    from decompdiff_tpu.parallel.mesh import make_mesh, shard_batch
+    from decompdiff_tpu.priors.beta import substitute_with_beta_prior
+    from decompdiff_tpu.reconstruct.builder import (
+        MolReconsError, is_connected, mol_record_from_prediction)
+    from decompdiff_tpu.sampling.init import (
+        build_generation_records, init_types_host)
+    from decompdiff_tpu.sampling.sampler import sample_diffusion
+    from decompdiff_tpu.utils.misc import seed_all
+
+    seed_all(seed)
+    raw = dataset.get_raw(data_id)
+    if prior_mode == 'beta_prior' and scfg.get('beta_prior_path'):
+        raw = substitute_with_beta_prior(
+            raw, scfg.beta_prior_path.format(id=data_id))
+
     full_protein = None
     if any(d['type'] == 'clash' for d in energy_drift):
         if args.protein_path:
@@ -155,12 +195,12 @@ def main():
                         '--protein_path for the original full protein')
         full_protein_pos = fp
 
-    num_samples = args.num_samples or scfg.get('num_samples', 10)
-    rng_np = np.random.default_rng(scfg.get('seed', 2021))
+    rng_np = np.random.default_rng(seed)
     results = []
     n_batches = int(np.ceil(num_samples / args.batch_size))
     t_start = time.time()
     for bi in range(n_batches):
+        t0 = time.time()
         n = min(args.batch_size, num_samples - bi * args.batch_size)
         records = build_generation_records(
             raw, n, prior_mode, num_atoms_mode, rng_np,
@@ -196,6 +236,7 @@ def main():
                 pos=jnp.broadcast_to(jnp.asarray(full_protein_pos),
                                      (B,) + full_protein_pos.shape),
                 mask=jnp.ones((B, len(full_protein_pos)), bool))
+        t_init = time.time()
         out = sample_diffusion(
             model, sample_config, params,
             jax.random.PRNGKey(scfg.get('seed', 2021) + bi), batch,
@@ -206,6 +247,7 @@ def main():
         bond = np.asarray(out['bond'])
         mask = np.asarray(batch.ligand_mask)
         traj = out.get('traj')
+        t_scan = time.time()
         for s in range(n):
             m = mask[s]
             pred_pos, pred_v = pos[s][m], v[s][m]
@@ -249,15 +291,18 @@ def main():
                 entry['recon_error'] = str(e)
             results.append(entry)
         logger.info(f'batch {bi + 1}/{n_batches} done '
-                    f'({time.time() - t_start:.1f}s)')
+                    f'({time.time() - t_start:.1f}s: '
+                    f'init {t_init - t0:.2f} '
+                    f'scan+pull {t_scan - t_init:.2f} '
+                    f'recon {time.time() - t_scan:.2f})')
 
     n_recon = sum(1 for r in results if r['mol'] is not None)
     n_complete = sum(1 for r in results if r['complete'])
     logger.info(f'reconstructed {n_recon}/{len(results)}, '
                 f'complete {n_complete}/{len(results)}')
-    out_path = os.path.join(args.outdir, f'result_{args.data_id}.pkl')
+    out_path = os.path.join(args.outdir, f'result_{data_id}.pkl')
     with open(out_path, 'wb') as f:
-        pickle.dump({'data_id': args.data_id, 'results': results,
+        pickle.dump({'data_id': data_id, 'results': results,
                      'atom_mode': atom_mode,
                      'config': sample_cfg_file.to_dict()}, f)
     logger.info(f'saved {out_path}')

@@ -116,8 +116,24 @@ def test_full_pipeline(tmp_path):
     with open(sample_yml, 'w') as f:
         f.write(TINY_SAMPLE_YML.format(store=store))
     outdir = str(tmp_path / 'outputs')
-    run(['scripts/sample.py', sample_yml, '--ckpt', ckpts[0], '-i', '0',
+    # multi-pocket single process: one invocation covers ids 0 and 1,
+    # amortizing checkpoint load + the compiled scan across pockets
+    run(['scripts/sample.py', sample_yml, '--ckpt', ckpts[0], '-i', '0', '1',
          '--outdir', outdir, '--batch_size', '4'])
+    # per-pocket re-seed contract: pocket 1 from the multi-id process is
+    # bit-identical to a dedicated `-i 1` process
+    solo = str(tmp_path / 'solo1')
+    run(['scripts/sample.py', sample_yml, '--ckpt', ckpts[0], '-i', '1',
+         '--outdir', solo, '--batch_size', '4'])
+    with open(os.path.join(outdir, 'result_1.pkl'), 'rb') as f:
+        multi1 = pickle.load(f)['results']
+    with open(os.path.join(solo, 'result_1.pkl'), 'rb') as f:
+        solo1 = pickle.load(f)['results']
+    assert len(multi1) == len(solo1)
+    for r1, r2 in zip(multi1, solo1):
+        np.testing.assert_array_equal(r1['pred_pos'], r2['pred_pos'])
+        np.testing.assert_array_equal(r1['pred_v'], r2['pred_v'])
+        np.testing.assert_array_equal(r1['pred_bond'], r2['pred_bond'])
 
     with open(os.path.join(outdir, 'result_0.pkl'), 'rb') as f:
         payload = pickle.load(f)
@@ -131,7 +147,8 @@ def test_full_pipeline(tmp_path):
     run(['scripts/evaluate.py', outdir])
     with open(os.path.join(outdir, 'eval_summary.pkl'), 'rb') as f:
         summary = pickle.load(f)
-    assert summary['n_total'] == 4
+    # evaluate aggregates every result_*.pkl in the outdir: 2 pockets x 4
+    assert summary['n_total'] == 8
     assert 'JSD_CC_2A' in summary['pair_jsd']
 
 
