@@ -41,8 +41,14 @@ def collate(records: List[dict],
             group_buckets=GROUP_BUCKETS,
             np_override: Optional[int] = None,
             nl_override: Optional[int] = None,
-            na_override: Optional[int] = None) -> ComplexBatch:
-    """Pad a list of featurized records into one fixed-shape ComplexBatch."""
+            na_override: Optional[int] = None,
+            to_device: bool = True) -> ComplexBatch:
+    """Pad a list of featurized records into one fixed-shape ComplexBatch.
+
+    to_device=False keeps the leaves as numpy: jit transfers them at
+    dispatch anyway, and a host-resident batch lets drivers read masks and
+    index arrays without a device->host round trip that would queue behind
+    in-flight work on the (serialized) TPU tunnel stream."""
     B = len(records)
     Np = np_override or bucketize(
         max(len(r['protein_pos']) for r in records), protein_buckets)
@@ -102,22 +108,23 @@ def collate(records: List[dict],
         bond_mask = bond_mask & gmask
     bond_type = np.where(bond_mask, bond_type, 0)
 
+    conv = jnp.asarray if to_device else np.asarray
     return ComplexBatch(
-        protein_pos=jnp.asarray(protein_pos),
-        protein_feat=jnp.asarray(protein_feat),
-        protein_mask=jnp.asarray(protein_mask),
-        ligand_pos=jnp.asarray(ligand_pos),
-        ligand_v=jnp.asarray(ligand_v),
-        ligand_aux=jnp.asarray(ligand_aux),
-        ligand_mask=jnp.asarray(ligand_mask),
-        ligand_decomp_idx=jnp.asarray(decomp_idx),
-        bond_type=jnp.asarray(bond_type),
-        bond_mask=jnp.asarray(bond_mask),
-        prior_centers=jnp.asarray(prior_centers),
-        prior_stds=jnp.asarray(prior_stds),
-        prior_num_atoms=jnp.asarray(prior_num),
-        prior_mask=jnp.asarray(prior_mask),
-        num_arms=jnp.asarray(num_arms),
+        protein_pos=conv(protein_pos),
+        protein_feat=conv(protein_feat),
+        protein_mask=conv(protein_mask),
+        ligand_pos=conv(ligand_pos),
+        ligand_v=conv(ligand_v),
+        ligand_aux=conv(ligand_aux),
+        ligand_mask=conv(ligand_mask),
+        ligand_decomp_idx=conv(decomp_idx),
+        bond_type=conv(bond_type),
+        bond_mask=conv(bond_mask),
+        prior_centers=conv(prior_centers),
+        prior_stds=conv(prior_stds),
+        prior_num_atoms=conv(prior_num),
+        prior_mask=conv(prior_mask),
+        num_arms=conv(num_arms),
     )
 
 

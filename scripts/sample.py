@@ -199,8 +199,30 @@ def run_pocket(args, data_id, seed, num_samples, dataset, prior_mode, scfg,
     results = []
     n_batches = int(np.ceil(num_samples / args.batch_size))
     t_start = time.time()
+    # loop-invariant device pulls/pushes happen ONCE, while the device is
+    # idle: a per-batch np.asarray(prior_logprobs) would queue behind the
+    # in-flight scans on the serialized tunnel stream and stall dispatch
+    atom_prior_probs = np.exp(np.asarray(
+        model.atom_diff.prior_logprobs, np.float64))
+    bond_prior_probs = np.exp(np.asarray(
+        model.bond_diff.prior_logprobs, np.float64))
+    if full_protein is None and any(
+            d['type'] == 'clash' for d in energy_drift):
+        B = args.batch_size
+        full_protein = FullProtein(
+            pos=jnp.broadcast_to(jnp.asarray(full_protein_pos),
+                                 (B,) + full_protein_pos.shape),
+            mask=jnp.ones((B, len(full_protein_pos)), bool))
+
+    # two-phase loop: dispatch every batch's scan first (jax dispatch is
+    # async — the device queues the 1000-step scans back to back), then pull
+    # + reconstruct. Host-side record building and molecule reconstruction
+    # overlap device compute instead of serializing with it; batch order and
+    # the rng stream are unchanged, so results stay bit-identical to the
+    # sequential loop.
+    pending = []
+    t0 = time.time()
     for bi in range(n_batches):
-        t0 = time.time()
         n = min(args.batch_size, num_samples - bi * args.batch_size)
         records = build_generation_records(
             raw, n, prior_mode, num_atoms_mode, rng_np,
@@ -213,10 +235,8 @@ def run_pocket(args, data_id, seed, num_samples, dataset, prior_mode, scfg,
         # 606-607 — uniform init would mismatch q(v_T))
         records = init_types_host(
             rng_np, records, num_classes, model.bond_diff.num_classes,
-            atom_prior_probs=np.exp(np.asarray(
-                model.atom_diff.prior_logprobs, np.float64)),
-            bond_prior_probs=np.exp(np.asarray(
-                model.bond_diff.prior_logprobs, np.float64)))
+            atom_prior_probs=atom_prior_probs,
+            bond_prior_probs=bond_prior_probs)
         if len(records) < args.batch_size:
             # pad the tail batch with copies of the last record: a smaller
             # batch dim would re-trace and recompile the whole 1000-step
@@ -224,24 +244,25 @@ def run_pocket(args, data_id, seed, num_samples, dataset, prior_mode, scfg,
             # sharding gate below; outputs are sliced back to n afterwards
             records = records + [dict(records[-1])] * (
                 args.batch_size - len(records))
-        batch = collate(records)
+        # host-resident batch: jit transfers it at dispatch; masks/indices
+        # stay readable below without a device round trip
+        batch = collate(records, to_device=False)
         # sampling is embarrassingly parallel across pockets/samples: shard
         # the batch over all devices (SURVEY.md §5 distributed plan)
+        host_batch = batch
         if (jax.device_count() > 1
                 and batch.batch_size % jax.device_count() == 0):
             batch = shard_batch(batch, make_mesh())
-        if any(d['type'] == 'clash' for d in energy_drift):
-            B = batch.batch_size
-            full_protein = FullProtein(
-                pos=jnp.broadcast_to(jnp.asarray(full_protein_pos),
-                                     (B,) + full_protein_pos.shape),
-                mask=jnp.ones((B, len(full_protein_pos)), bool))
-        t_init = time.time()
         out = sample_diffusion(
             model, sample_config, params,
             jax.random.PRNGKey(scfg.get('seed', 2021) + bi), batch,
             batch.ligand_pos, batch.ligand_v, batch.bond_type, full_protein)
+        pending.append((n, host_batch, out))
+    logger.info(f'dispatched {n_batches} batches '
+                f'(init+dispatch {time.time() - t0:.2f}s)')
 
+    for bi, (n, batch, out) in enumerate(pending):
+        t_pb = time.time()
         pos = np.asarray(out['pos'])
         v = np.asarray(out['v'])
         bond = np.asarray(out['bond'])
@@ -292,8 +313,7 @@ def run_pocket(args, data_id, seed, num_samples, dataset, prior_mode, scfg,
             results.append(entry)
         logger.info(f'batch {bi + 1}/{n_batches} done '
                     f'({time.time() - t_start:.1f}s: '
-                    f'init {t_init - t0:.2f} '
-                    f'scan+pull {t_scan - t_init:.2f} '
+                    f'scan+pull {t_scan - t_pb:.2f} '
                     f'recon {time.time() - t_scan:.2f})')
 
     n_recon = sum(1 for r in results if r['mol'] is not None)
