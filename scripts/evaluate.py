@@ -42,6 +42,17 @@ def main(argv=None):
                         help='pickle {ligand_filename: reference-ligand Vina '
                              'Dock affinity} enabling the High Affinity '
                              'metric')
+    parser.add_argument('-n', '--eval_num_examples', type=int, default=None,
+                        help='cap the number of samples evaluated (ref '
+                             'evaluate_mol_from_meta_full.py:132)')
+    parser.add_argument('--num_workers', type=int, default=4,
+                        help='concurrent docking subprocesses (ref '
+                             'evaluate_mol_from_meta_full.py:138); docking '
+                             'is external-process bound, so threads suffice')
+    parser.add_argument('--result_path', default=None,
+                        help='where to write eval_summary.pkl (default: '
+                             '<outdir>/eval_summary.pkl; ref '
+                             'evaluate_mol_from_meta_full.py:139)')
     args = parser.parse_args(argv)
 
     from decompdiff_tpu.constants import atomic_numbers_from_index
@@ -71,74 +82,102 @@ def main(argv=None):
     # aligned per reconstructed sample (for Success Rate / High Affinity)
     chem_list, dock_list, vina_rows, ha_flags = [], [], [], []
 
+    entries = []
     for rf in result_files:
         with open(rf, 'rb') as f:
             payload = pickle.load(f)
-        atom_mode = payload.get('atom_mode', 'basic')
-        for r in payload['results']:
-            n_total += 1
-            mol = r.get('mol')
-            if mol is None:
-                continue
-            n_recon += 1
-            # the reference protocol excludes disconnected molecules from
-            # EVERY statistic ('.' in SMILES -> continue, ref
-            # evaluate_mol_from_meta_full.py:73-74); 'complete' records the
-            # same connectivity check at sampling time
-            if not r.get('complete', False):
-                continue
-            n_complete += 1
+        entries += [(payload.get('atom_mode', 'basic'), r)
+                    for r in payload['results']]
+    if args.eval_num_examples is not None:
+        # ref evaluate_mol_from_meta_full.py:153 caps the evaluated set
+        entries = entries[:args.eval_num_examples]
 
-            # chem + docking run BEFORE any metric accumulation: a sample
-            # whose scoring or docking fails contributes nothing (ref
-            # :76-108 single try -> continue). On an RDKit-free host chem
-            # scoring is unavailable (can_score False) and samples are
-            # kept — the geometric JSD metrics still work (degraded mode).
-            chem = None
-            if scoring.can_score(mol):
-                try:
-                    chem = scoring.get_chem(mol)
-                except Exception as e:
-                    logger.info(f'chem scoring failed (sample skipped): {e}')
-                    continue
-
-            dock_val, vina_results = None, None
-            if args.docking_mode != 'none':
-                try:
-                    vina_results = protocol.run_docking(
-                        mol, args.docking_mode,
-                        ligand_filename=r.get('ligand_filename', ''),
-                        protein_root=args.protein_root,
-                        protein_path=r.get('protein_path'),
-                        exhaustiveness=args.exhaustiveness,
-                        tmp_dir=args.tmp_dir)
-                    # affinity extraction belongs in the same per-sample
-                    # try: an empty/malformed vina result (zero poses) must
-                    # skip this sample, not abort the whole evaluation
-                    dock_val = protocol.dock_affinity(vina_results,
-                                                      args.docking_mode)
-                except Exception as e:
-                    logger.info(f'docking failed (sample skipped): {e}')
-                    continue
-                n_dock_success += 1
-                ref_d = ref_vina.get(r.get('ligand_filename', ''))
-                if ref_d is not None and dock_val is not None:
-                    ha_flags.append(dock_val < float(ref_d))
-
-            chem_list.append(chem)
-            dock_list.append(dock_val)
-            if vina_results is not None:
-                vina_rows.append(vina_results)
-
-            elements = atomic_numbers_from_index(r['pred_v'], atom_mode)
-            atom_counter.update(int(z) for z in elements)
-            all_pair_lengths += pair_distances_from_pos(r['pred_pos'],
-                                                        elements)
-            all_bond_lengths += bond_distances_from_mol(mol)
+    # phase 1 — reconstruction/completeness filters + chem scoring (host,
+    # cheap). Chem runs BEFORE docking so a sample whose scoring fails
+    # contributes nothing (ref :76-108 single try -> continue). On an
+    # RDKit-free host chem scoring is unavailable (can_score False) and
+    # samples are kept — the geometric JSD metrics still work (degraded).
+    candidates = []
+    for atom_mode, r in entries:
+        n_total += 1
+        mol = r.get('mol')
+        if mol is None:
+            continue
+        n_recon += 1
+        # the reference protocol excludes disconnected molecules from
+        # EVERY statistic ('.' in SMILES -> continue, ref
+        # evaluate_mol_from_meta_full.py:73-74); 'complete' records the
+        # same connectivity check at sampling time
+        if not r.get('complete', False):
+            continue
+        n_complete += 1
+        chem = None
+        if scoring.can_score(mol):
             try:
-                ring_sizes.update(get_ring_sizes(mol))
-            except Exception:
-                pass
+                chem = scoring.get_chem(mol)
+            except Exception as e:
+                logger.info(f'chem scoring failed (sample skipped): {e}')
+                continue
+        candidates.append((atom_mode, r, mol, chem))
+
+    # phase 2 — docking, fanned over --num_workers threads (each Vina/QVina
+    # call is an external subprocess, so threads give real concurrency; ref
+    # :138 uses a torch multiprocessing pool for the same reason). Ordered
+    # executor.map keeps per-sample alignment deterministic regardless of
+    # worker count; a failed dock drops its sample from every statistic,
+    # exactly like the sequential protocol.
+    if args.docking_mode != 'none':
+        from concurrent.futures import ThreadPoolExecutor
+
+        def dock_one(cand):
+            _, r, mol, _ = cand
+            try:
+                vina_results = protocol.run_docking(
+                    mol, args.docking_mode,
+                    ligand_filename=r.get('ligand_filename', ''),
+                    protein_root=args.protein_root,
+                    protein_path=r.get('protein_path'),
+                    exhaustiveness=args.exhaustiveness,
+                    tmp_dir=args.tmp_dir)
+                # affinity extraction belongs in the same per-sample try:
+                # an empty/malformed vina result (zero poses) must skip
+                # this sample, not abort the whole evaluation
+                return vina_results, protocol.dock_affinity(
+                    vina_results, args.docking_mode), None
+            except Exception as e:  # noqa: BLE001 — reported per sample
+                return None, None, e
+
+        with ThreadPoolExecutor(max(1, args.num_workers)) as pool:
+            dock_outcomes = list(pool.map(dock_one, candidates))
+    else:
+        dock_outcomes = [(None, None, None)] * len(candidates)
+
+    # phase 3 — metric accumulation for the survivors, in original order
+    for (atom_mode, r, mol, chem), (vina_results, dock_val, err) in zip(
+            candidates, dock_outcomes):
+        if err is not None:
+            logger.info(f'docking failed (sample skipped): {err}')
+            continue
+        if args.docking_mode != 'none':
+            n_dock_success += 1
+            ref_d = ref_vina.get(r.get('ligand_filename', ''))
+            if ref_d is not None and dock_val is not None:
+                ha_flags.append(dock_val < float(ref_d))
+
+        chem_list.append(chem)
+        dock_list.append(dock_val)
+        if vina_results is not None:
+            vina_rows.append(vina_results)
+
+        elements = atomic_numbers_from_index(r['pred_v'], atom_mode)
+        atom_counter.update(int(z) for z in elements)
+        all_pair_lengths += pair_distances_from_pos(r['pred_pos'],
+                                                    elements)
+        all_bond_lengths += bond_distances_from_mol(mol)
+        try:
+            ring_sizes.update(get_ring_sizes(mol))
+        except Exception:
+            pass
 
     logger.info(f'total {n_total}, reconstructed {n_recon} '
                 f'({n_recon / max(n_total, 1):.1%}), complete {n_complete} '
@@ -192,7 +231,7 @@ def main(argv=None):
         'high_affinity': high_affinity,
         'success_rate': sr,
     }
-    out = os.path.join(args.outdir, 'eval_summary.pkl')
+    out = args.result_path or os.path.join(args.outdir, 'eval_summary.pkl')
     with open(out, 'wb') as f:
         pickle.dump(summary, f)
     logger.info(f'saved {out}')

@@ -39,10 +39,36 @@ def main():
                              'results are bit-identical to running each id '
                              'in its own process (per-pocket re-seed below)')
     parser.add_argument('--outdir', default='./outputs')
-    parser.add_argument('--prior_mode', default=None)
+    parser.add_argument('--prior_mode', default=None,
+                        choices=['subpocket', 'ref_prior', 'beta_prior'])
     parser.add_argument('--num_samples', type=int, default=None)
     parser.add_argument('--batch_size', type=int, default=8)
     parser.add_argument('--save_traj', action='store_true')
+    parser.add_argument('--sample_num_atoms', default=None,
+                        choices=['prior', 'ref', 'ref_large', 'old', 'v2',
+                                 'stat'],
+                        help='override the config atom-count mode (covers '
+                             'both ref --num_atoms_mode and '
+                             '--bp_num_atoms_mode, '
+                             'sample_diffusion_decomp.py:473-474)')
+    parser.add_argument('--beta_prior_path', default=None,
+                        help='dir/template of per-pocket beta-prior pickles, '
+                             '{id:08d}.pkl appended when a directory is '
+                             'given (ref sample_diffusion_decomp.py:465)')
+    parser.add_argument('--natoms_config', default=None,
+                        help="pickle for the 'stat' atom-count sampler (ref "
+                             '--natom_models_path, '
+                             'sample_diffusion_decomp.py:466)')
+    parser.add_argument('--suffix', default=None,
+                        help='appended to result filenames: '
+                             'result_<id><suffix>.pkl (ref '
+                             'sample_diffusion_decomp.py:475)')
+    parser.add_argument('--recon_with_bond', default='auto',
+                        choices=['auto', 'true', 'false'],
+                        help='use the diffused bond channel for '
+                             'reconstruction; auto follows the checkpoint '
+                             'bond_diffusion flag (ref '
+                             'sample_diffusion_decomp.py:476)')
     parser.add_argument('--use_pallas', action='store_true',
                         help='enable the fused TPU kernels for sampling')
     parser.add_argument('--no_pallas', action='store_true',
@@ -97,7 +123,8 @@ def main():
     dataset = DecompDataset(store, ligand_atom_mode=atom_mode)
     prior_mode = args.prior_mode or scfg.get('prior_mode', 'ref_prior')
 
-    num_atoms_mode = scfg.get('sample_num_atoms', 'ref')
+    num_atoms_mode = (args.sample_num_atoms
+                      or scfg.get('sample_num_atoms', 'ref'))
     if num_atoms_mode == 'prior':
         arms_cfg = load_num_config(
             scfg.get('arms_num_atoms_config', 'arm_num_config'))
@@ -105,7 +132,8 @@ def main():
             scfg.get('scaffold_num_atoms_config', 'scaffold_num_config'))
     else:
         arms_cfg = sca_cfg = None
-    natoms_sampler = (NumAtomsSampler.from_pickle(scfg.natoms_config)
+    natoms_sampler = (NumAtomsSampler.from_pickle(
+                          args.natoms_config or scfg.natoms_config)
                       if num_atoms_mode == 'stat' else None)
 
     energy_drift = tuple(dict(d) for d in scfg.get('energy_drift', []))
@@ -174,10 +202,18 @@ def run_pocket(args, data_id, seed, num_samples, dataset, prior_mode, scfg,
     from decompdiff_tpu.utils.misc import seed_all
 
     seed_all(seed)
+    # ref sample_diffusion_decomp.py:476 recon_with_bond; 'auto' follows the
+    # checkpoint's bond_diffusion flag (a bond-free model's bond channel is
+    # untrained noise, ref :424-431)
+    recon_with_bond = (model.bond_diffusion
+                       if args.recon_with_bond == 'auto'
+                       else args.recon_with_bond == 'true')
     raw = dataset.get_raw(data_id)
-    if prior_mode == 'beta_prior' and scfg.get('beta_prior_path'):
-        raw = substitute_with_beta_prior(
-            raw, scfg.beta_prior_path.format(id=data_id))
+    bp_path = args.beta_prior_path or scfg.get('beta_prior_path')
+    if prior_mode == 'beta_prior' and bp_path:
+        if os.path.isdir(bp_path):
+            bp_path = os.path.join(bp_path, '{id:08d}.pkl')
+        raw = substitute_with_beta_prior(raw, bp_path.format(id=data_id))
 
     full_protein = None
     if any(d['type'] == 'clash' for d in energy_drift):
@@ -299,7 +335,7 @@ def run_pocket(args, data_id, seed, num_samples, dataset, prior_mode, scfg,
                 # :424-431 recon_with_bond)
                 mol = mol_record_from_prediction(
                     pred_pos, pred_v,
-                    pred_bond if model.bond_diffusion else None,
+                    pred_bond if recon_with_bond else None,
                     atom_mode=atom_mode)
                 entry['mol'] = mol
                 entry['complete'] = is_connected(mol)
@@ -320,7 +356,8 @@ def run_pocket(args, data_id, seed, num_samples, dataset, prior_mode, scfg,
     n_complete = sum(1 for r in results if r['complete'])
     logger.info(f'reconstructed {n_recon}/{len(results)}, '
                 f'complete {n_complete}/{len(results)}')
-    out_path = os.path.join(args.outdir, f'result_{data_id}.pkl')
+    suffix = args.suffix or ''
+    out_path = os.path.join(args.outdir, f'result_{data_id}{suffix}.pkl')
     with open(out_path, 'wb') as f:
         pickle.dump({'data_id': data_id, 'results': results,
                      'atom_mode': atom_mode,

@@ -32,6 +32,9 @@ def main():
     parser.add_argument('--max_iters', type=int, default=None)
     parser.add_argument('--val_freq', type=int, default=None)
     parser.add_argument('--report_freq', type=int, default=200)
+    parser.add_argument('--tag', default='',
+                        help='suffix appended to the auto-named run dir '
+                             '(ref train_diffusion_decomp.py:67)')
     parser.add_argument('--profile_steps', type=int, default=0,
                         help='capture a device trace over N steps (from step 10)')
     args = parser.parse_args()
@@ -62,7 +65,7 @@ def main():
 
     config = load_config(args.config)
     seed_all(config.train.seed)
-    log_dir = get_new_log_dir(args.outdir, prefix='train')
+    log_dir = get_new_log_dir(args.outdir, prefix='train', tag=args.tag)
     ckpt_dir = os.path.join(log_dir, 'checkpoints')
     os.makedirs(ckpt_dir, exist_ok=True)
     logger = get_logger('train', log_dir)

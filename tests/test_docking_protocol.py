@@ -320,6 +320,24 @@ def test_evaluate_driver_vina_full(tmp_path, monkeypatch, fake_vina_env):
     # QED 0.5 > 0.25, SA 0.7 > 0.59, dock -8.5 < -8.18 for all 4
     assert summary['success_rate'] == 1.0
 
+    # a serial pool gives identical numbers (ordered executor.map keeps
+    # per-sample alignment regardless of --num_workers; ref :138)
+    serial = evaluate_mod.main([
+        str(outdir), '--docking_mode', 'vina_full', '--num_workers', '1',
+        '--ref_vina_pkl', str(tmp_path / 'ref_vina.pkl'),
+        '--tmp_dir', str(tmp_path)])
+    assert serial['vina_metrics'] == summary['vina_metrics']
+    assert serial['high_affinity'] == summary['high_affinity']
+    assert serial['success_rate'] == summary['success_rate']
+
+    # -n caps the evaluated set (ref evaluate_mol_from_meta_full.py:132)
+    capped = evaluate_mod.main([
+        str(outdir), '--docking_mode', 'vina_full', '-n', '2',
+        '--result_path', str(tmp_path / 'alt_summary.pkl'),
+        '--tmp_dir', str(tmp_path)])
+    assert capped['n_total'] == 2 and capped['n_dock_success'] == 2
+    assert (tmp_path / 'alt_summary.pkl').is_file()
+
 
 def test_evaluate_driver_filters_incomplete_and_failed(
         tmp_path, monkeypatch, fake_vina_env):
