@@ -20,9 +20,25 @@ import random
 import string
 import subprocess
 import tempfile
+import threading
 from typing import List, Optional
 
 import numpy as np
+
+# Receptor prep is expensive (pdb2pqr + prepare_receptor4, tens of seconds)
+# and the evaluation driver docks samples on a thread pool, so concurrent
+# tasks on the SAME receptor must serialize through one lock: without it the
+# pool workers duplicate the prep AND collide on the scratch names (the old
+# pid-only suffix was shared by every thread in the process — one os.replace
+# consumed the tmp file and the loser's replace raised ENOENT, dropping its
+# sample from the evaluation).
+_receptor_locks_guard = threading.Lock()
+_receptor_locks: dict = {}
+
+
+def _receptor_lock(path: str) -> threading.Lock:
+    with _receptor_locks_guard:
+        return _receptor_locks.setdefault(path, threading.Lock())
 
 
 def _have(cmd: str) -> bool:
@@ -229,15 +245,19 @@ class VinaDockingTask:
             os.makedirs(cache, exist_ok=True)
             base = os.path.join(cache, h)
         pqr, pdbqt = base + '.pqr', base + '.pdbqt'
-        if not os.path.exists(pdbqt):
+        with _receptor_lock(pdbqt):
+            if os.path.exists(pdbqt):
+                return pdbqt
             # prep in a scratch dir and publish each artifact with an
             # atomic os.replace: a crashed/interrupted subprocess must not
             # leave a partial file that every later run silently reuses,
             # and concurrent evaluators racing on the same receptor each
-            # read only complete files (last complete writer wins)
+            # read only complete files (last complete writer wins).
             # scratch names live BESIDE the destinations (os.replace is
-            # only atomic within a filesystem)
-            suffix = f'.tmp{os.getpid()}'
+            # only atomic within a filesystem) and carry pid+tid: the lock
+            # serializes this process, the unique name keeps cross-PROCESS
+            # racers from clobbering each other's scratch files
+            suffix = f'.tmp{os.getpid()}_{threading.get_ident()}'
             with tempfile.TemporaryDirectory(dir=self.tmp_dir) as td:
                 prot = PrepProt(self.protein_path)
                 prot.del_water(os.path.join(td, 'dry.pdb'))

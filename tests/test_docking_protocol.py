@@ -137,6 +137,41 @@ def test_vina_task_run_modes(fake_vina_env, tmp_path):
     assert r == [{'affinity': -8.5, 'pose': 'POSE'}]
 
 
+def test_receptor_prep_thread_safe(fake_vina_env, tmp_path, monkeypatch):
+    """Concurrent docking tasks on one receptor (the evaluate driver's
+    --num_workers pool) must serialize the cached PDBQT prep: the old
+    pid-only scratch suffix was shared by every pool thread, so one
+    os.replace consumed the tmp file and the losers raised ENOENT, silently
+    dropping their samples from the evaluation (regression, b4296c0)."""
+    import threading
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    start = threading.Barrier(4)
+    prep_calls = []
+
+    def slow_get_pdbqt(self, out):
+        prep_calls.append(out)
+        time.sleep(0.05)  # widen the replace/unlink race window
+        open(out, 'w').write('PROT')
+
+    monkeypatch.setattr(docking.PrepProt, 'get_pdbqt', slow_get_pdbqt)
+
+    mol = _mol_record(np.random.default_rng(1))
+
+    def dock_one(_):
+        start.wait()
+        task = docking.VinaDockingTask(mol, protein_path=fake_vina_env,
+                                       tmp_dir=str(tmp_path))
+        return task._receptor_pdbqt()
+
+    with ThreadPoolExecutor(4) as pool:
+        paths = list(pool.map(dock_one, range(4)))
+    assert len(set(paths)) == 1 and os.path.exists(paths[0])
+    # the lock also deduplicates the expensive prep: exactly one call
+    assert len(prep_calls) == 1
+
+
 def test_run_docking_mode_dispatch(fake_vina_env, tmp_path):
     mol = _mol_record(np.random.default_rng(1))
     kw = dict(protein_path=fake_vina_env, tmp_dir=str(tmp_path))
