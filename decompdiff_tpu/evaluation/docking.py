@@ -37,8 +37,11 @@ _receptor_locks: dict = {}
 
 
 def _receptor_lock(path: str) -> threading.Lock:
+    # Key on the canonical path so relative/absolute/symlinked spellings of
+    # one receptor all serialize through the same lock.
+    key = os.path.realpath(path)
     with _receptor_locks_guard:
-        return _receptor_locks.setdefault(path, threading.Lock())
+        return _receptor_locks.setdefault(key, threading.Lock())
 
 
 def _have(cmd: str) -> bool:

@@ -10,9 +10,12 @@ consumes a reference-layout state dict (the same key names/shapes as
     reference state dict --convert_reference_state_dict--> flax padded model
                          \--this oracle (ragged numpy)---/  must agree.
 
-Everything is float64 for a stable ground truth. Only the released
-`uni_o2_bond` topology (bond_diffusion, bond_net_type='lin'/'pre_att',
-node_indicator, no prior nodes, knn cutoff) is implemented.
+Everything is float64 for a stable ground truth. Covered topologies: the
+released `uni_o2_bond` (bond_diffusion, bond_net_type='lin'/'pre_att',
+node_indicator, knn cutoff), the non-bond `uni_o2` refine net
+(`make_reference_state_dict_o2`/`decomp_forward_o2`), prior-node context
+composition (`add_prior_node`), and a single reverse-diffusion step with
+injected noise (exercised by test_oracle_parity.py + test_oracle_extended.py).
 """
 
 from __future__ import annotations
