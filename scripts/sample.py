@@ -148,6 +148,25 @@ def main():
                 mmff_callback=make_mmff_callback(atom_mode),
                 mmff_start_time=int(d.get('start_time', 0)),
                 mmff_end_time=int(d.get('end_time', 0)))
+            if jax.default_backend() != 'cpu':
+                # the device stream over the axon tunnel is SERIALIZED
+                # (CLAUDE.md): every in-window step's pure_callback forces a
+                # device->host sync + an RDKit reconstruction+MMFF round trip
+                # INSIDE the scan, and any other in-flight dispatch queues
+                # behind it — the async multi-batch dispatch below degrades
+                # to lockstep. This matches reference behavior (its mmff
+                # drift is a per-step host round trip too,
+                # ref utils/guidance_funcs.py:121-158) but costs far more
+                # here relative to the ~11 ms fused step.
+                n_win = max(0, int(d.get('start_time', 0))
+                            - int(d.get('end_time', 0)))
+                logger.warning(
+                    'mmff_min drift is enabled on backend %r: %d of the '
+                    'sampling steps will each pay a host round trip '
+                    '(reconstruction + MMFF94s) that serializes the device '
+                    'stream; expect a large wall-clock hit. Drop mmff_min '
+                    'from sample.energy_drift for device-speed sampling.',
+                    jax.default_backend(), n_win)
     num_steps = scfg.get('num_steps', model.num_timesteps)
     if num_steps > model.num_timesteps:
         logger.warning(f'num_steps {num_steps} > model timesteps '
