@@ -17,9 +17,15 @@ import numpy as np
 from decompdiff_tpu.data.batch import ComplexBatch, make_bond_mask
 
 # default bucket ladders (atoms); chosen to cover CrossDocked pockets
-# (~150-500 atoms) and ligands (~8-60 atoms) with <2x padding waste
+# (~150-500 atoms) and ligands (~8-60 atoms) with <2x padding waste.
+# LIGAND_BUCKETS is tuned against the committed CrossDocked ligand-size
+# tables (benchmarks/bench_mixed_buckets.py --ladders-only: mean 23.7
+# atoms, p95=38): the 40 rung serves ~12% of the corpus that previously
+# padded to 48 — the triplet stream is cubic in Nl, so that rung alone cuts
+# those pockets' dominant kernel work by (48/40)^3 = 1.7x. Rungs stay
+# multiples of 8 (Mosaic: the bond/triplet kernels block on Nl sublanes).
 PROTEIN_BUCKETS = (128, 192, 256, 320, 384, 448, 512, 640, 768)
-LIGAND_BUCKETS = (16, 24, 32, 48, 64)
+LIGAND_BUCKETS = (16, 24, 32, 40, 48, 64)
 GROUP_BUCKETS = (4, 8, 12)
 
 
