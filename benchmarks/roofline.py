@@ -143,7 +143,18 @@ def main():
                     default=[5.422, 3.858, 0.300],
                     help='per-step kernel device ms from '
                          'profile_sample_step.py')
+    ap.add_argument('--train', action='store_true',
+                    help='training-step accounting: custom-VJP kernels '
+                         'recompute the forward in VMEM and add the two '
+                         'grad matmuls per forward matmul, a structural '
+                         '3x FLOP ratio (the measured bwd/fwd TIME ratio '
+                         'is ~2.9x — benchmarks/profile_train_step.py); '
+                         'trace default is the round-3 41.4 ms split: '
+                         'edge 16.9 (fwd 5.5 + bwd 11.4), triplet 15.1 '
+                         '(3.9 + 11.2), bond 1.1')
     args = ap.parse_args()
+    if args.train and args.trace_ms == [5.422, 3.858, 0.300]:
+        args.trace_ms = [16.9, 15.1, 1.1]
 
     ceil = None
     if not args.skip_microbench:
@@ -153,9 +164,14 @@ def main():
             print(f'{k:28s} {v:10.2f}')
 
     acc = step_accounting()
+    if args.train:
+        for a in acc.values():
+            for key in ('flops', 'tile_flops', 'bytes'):
+                a[key] *= 3
     times = dict(zip(('edge', 'triplet', 'bond'), args.trace_ms))
-    print(f'--- per-step accounting (B={B}, Np={NP}, Nl={NL}, ctx pad '
-          f'{N_CTX}) ---')
+    mode = 'train fwd+bwd (3x structural)' if args.train else 'sampling'
+    print(f'--- per-step accounting [{mode}] (B={B}, Np={NP}, Nl={NL}, '
+          f'ctx pad {N_CTX}) ---')
     tot_f = tot_tf = tot_b = 0
     for name, a in acc.items():
         t = times[name] / 1e3
