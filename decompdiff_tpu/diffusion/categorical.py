@@ -133,6 +133,35 @@ class CategoricalDiffusion:
         unnormed = log_qvt1_v0 + self.q_v_pred_one_timestep(log_vt, t)
         return unnormed - jax.nn.logsumexp(unnormed, axis=-1, keepdims=True)
 
+    def _log_ab(self, s, ndim):
+        """log alpha_bar_s broadcast; s == -1 denotes the clean endpoint
+        (alpha_bar = 1, log = 0)."""
+        tab = self.log_alphas_cumprod[jnp.maximum(s, 0)]
+        return jnp.where(s >= 0, tab, 0.0).reshape(
+            s.shape + (1,) * (ndim - 1))
+
+    def q_v_pred_skip(self, log_vs, t, s):
+        """q(v_t | v_s) for an arbitrary pair s < t: the composition of
+        uniform/prior-mixture kernels is again a mixture with
+        alpha_ts = ab_t / ab_s (strided-sampling extension; with s == t-1
+        this equals `q_v_pred_one_timestep` up to float32 cumsum noise)."""
+        log_a_ts = (self._coef(self.log_alphas_cumprod, t, log_vs.ndim)
+                    - self._log_ab(s, log_vs.ndim))
+        # expm1 keeps 1 - a_ts accurate when a_ts ~ 1 (adjacent early steps)
+        log_1m = jnp.log(-jnp.expm1(log_a_ts) + 1e-40)
+        return log_add_exp(log_vs + log_a_ts, log_1m + self.prior_logprobs)
+
+    def q_v_posterior_skip(self, log_v0, log_vt, t, s):
+        """q(v_s | v_t, v_0) for an arbitrary earlier step s (s == -1
+        returns the normalized log_v0: the jump lands on the clean class).
+        With s == t-1 this matches `q_v_posterior` for t >= 1."""
+        log_ab_s = self._log_ab(s, log_v0.ndim)
+        log_qvs_v0 = log_add_exp(
+            log_v0 + log_ab_s,
+            jnp.log(-jnp.expm1(log_ab_s) + 1e-40) + self.prior_logprobs)
+        unnormed = log_qvs_v0 + self.q_v_pred_skip(log_vt, t, s)
+        return unnormed - jax.nn.logsumexp(unnormed, axis=-1, keepdims=True)
+
     def sample_terminal(self, rng, shape) -> jnp.ndarray:
         """Sample from the terminal distribution (uniform or marginal prior) —
         used for init types at sampling time (ref scripts/sample_diffusion_decomp.py:306-312)."""

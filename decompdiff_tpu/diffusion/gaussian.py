@@ -33,6 +33,7 @@ class GaussianDiffusion:
     betas: jnp.ndarray
     alphas_cumprod: jnp.ndarray
     alphas_cumprod_prev: jnp.ndarray
+    one_minus_alphas_cumprod: jnp.ndarray
     sqrt_alphas_cumprod: jnp.ndarray
     sqrt_one_minus_alphas_cumprod: jnp.ndarray
     sqrt_recip_alphas_cumprod: jnp.ndarray
@@ -79,6 +80,44 @@ class GaussianDiffusion:
         """Posterior mean c0*x0 + ct*xt (ref models/decompdiff.py:358-362)."""
         return (self.extract(self.posterior_mean_c0_coef, t, xt.ndim) * x0 +
                 self.extract(self.posterior_mean_ct_coef, t, xt.ndim) * xt)
+
+    def _ab_pair(self, t, s, ndim):
+        """(ab_t, om_t, ab_s, om_s) broadcast helpers for skip steps, where
+        om = 1 - alpha_bar comes from the f64-computed complement table
+        (computing 1 - ab in float32 cancels catastrophically at ab ~ 1,
+        which every early timestep of the sigmoid schedule hits). s == -1
+        denotes the fully-denoised endpoint (ab = 1, om = 0)."""
+        ab_t = self.extract(self.alphas_cumprod, t, ndim)
+        om_t = self.extract(self.one_minus_alphas_cumprod, t, ndim)
+        sc = jnp.maximum(s, 0)
+        live = (s >= 0)
+        ab_s = self._bcast(
+            jnp.where(live, self.alphas_cumprod[sc], 1.0), ndim)
+        om_s = self._bcast(
+            jnp.where(live, self.one_minus_alphas_cumprod[sc], 0.0), ndim)
+        return ab_t, om_t, ab_s, om_s
+
+    def q_posterior_mean_skip(self, x0, xt, t, s):
+        """Posterior mean of q(x_s | x_t, x0) for an ARBITRARY earlier step
+        s < t (strided/few-step sampling — an extension beyond the
+        reference's fixed t-1 ancestral loop). With s == t-1 this equals
+        `q_posterior_mean` (a_ts = alpha_t); s == -1 collapses onto x0.
+        Cancellation-safe form: 1 - a_ts = (om_t - om_s) / ab_s, a
+        difference of two accurately-tabled small numbers."""
+        ab_t, om_t, ab_s, om_s = self._ab_pair(t, s, xt.ndim)
+        one_minus_a_ts = (om_t - om_s) / ab_s
+        c0 = jnp.sqrt(ab_s) * one_minus_a_ts / om_t
+        ct = jnp.sqrt(ab_t / ab_s) * om_s / om_t
+        return c0 * x0 + ct * xt
+
+    def posterior_logvar_skip(self, t, s, ndim):
+        """log Var[q(x_s | x_t, x0)] = log[om_s/om_t * (om_t - om_s)/ab_s];
+        equals posterior_logvar[t] at s == t-1 (t >= 1). The s == -1 /
+        variance-0 endpoint is clamped — callers gate the noise on s >= 0
+        exactly as the dense path gates on t > 0."""
+        ab_t, om_t, ab_s, om_s = self._ab_pair(t, s, ndim)
+        var = om_s / om_t * (om_t - om_s) / ab_s
+        return jnp.log(jnp.maximum(var, 1e-20))
 
     def reverse_step(self, rng, x0_pred, xt, t, stds):
         """One ancestral step: mean + 1[t>0] * exp(0.5 logvar) * eps * sigma_k

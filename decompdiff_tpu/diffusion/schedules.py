@@ -71,6 +71,9 @@ def pos_schedule_coefficients(config) -> dict:
         'betas': betas,
         'alphas_cumprod': alphas_cumprod,
         'alphas_cumprod_prev': alphas_cumprod_prev,
+        # f64-computed small complement: the strided skip posteriors
+        # need (1 - ab) without float32 cancellation at ab ~ 1
+        'one_minus_alphas_cumprod': 1.0 - alphas_cumprod,
         'sqrt_alphas_cumprod': np.sqrt(alphas_cumprod),
         'sqrt_one_minus_alphas_cumprod': np.sqrt(1.0 - alphas_cumprod),
         'sqrt_recip_alphas_cumprod': np.sqrt(1.0 / alphas_cumprod),

@@ -172,11 +172,18 @@ def main():
         logger.warning(f'num_steps {num_steps} > model timesteps '
                        f'{model.num_timesteps}; clamping')
         num_steps = model.num_timesteps
+    skip_mode = scfg.get('skip_mode', 'truncate')
+    if skip_mode == 'strided' and num_steps < model.num_timesteps:
+        logger.info(f'strided fast sampling: {num_steps} denoiser calls '
+                    f'spread over the {model.num_timesteps}-step chain '
+                    f'(exact skip posteriors; '
+                    f'{model.num_timesteps / num_steps:.0f}x fewer calls)')
     sample_config = SampleConfig(
         num_steps=num_steps,
         save_traj=args.save_traj,
         center_pos_mode=scfg.get('center_pos_mode',
                                  model_cfg.get('center_pos_mode', 'protein')),
+        skip_mode=skip_mode,
         energy_drift=energy_drift, **mmff_kwargs)
 
     num_samples = args.num_samples or scfg.get('num_samples', 10)
