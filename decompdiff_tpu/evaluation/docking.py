@@ -239,11 +239,14 @@ class VinaDockingTask:
         prepare_receptor4 per molecule and per mode costs tens of seconds
         each and would dominate a 100-sample evaluation. Falls back to a
         path-keyed cache under tmp_dir when the protein dir is read-only."""
-        base = self.protein_path[:-4]
-        if not os.access(os.path.dirname(self.protein_path) or '.', os.W_OK):
+        # canonicalize FIRST so every spelling of one receptor (relative,
+        # absolute, symlinked) derives the same artifact paths — and
+        # therefore the same prep lock and cache entry
+        ppath = os.path.realpath(self.protein_path)
+        base = ppath[:-4]
+        if not os.access(os.path.dirname(ppath) or '.', os.W_OK):
             import hashlib
-            h = hashlib.sha1(
-                os.path.abspath(self.protein_path).encode()).hexdigest()[:16]
+            h = hashlib.sha1(ppath.encode()).hexdigest()[:16]
             cache = os.path.join(self.tmp_dir, 'ddtpu_receptor_cache')
             os.makedirs(cache, exist_ok=True)
             base = os.path.join(cache, h)
@@ -262,7 +265,7 @@ class VinaDockingTask:
             # racers from clobbering each other's scratch files
             suffix = f'.tmp{os.getpid()}_{threading.get_ident()}'
             with tempfile.TemporaryDirectory(dir=self.tmp_dir) as td:
-                prot = PrepProt(self.protein_path)
+                prot = PrepProt(ppath)
                 prot.del_water(os.path.join(td, 'dry.pdb'))
                 try:
                     if os.path.exists(pqr):

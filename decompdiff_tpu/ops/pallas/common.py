@@ -1,6 +1,5 @@
 """Shared in-kernel helpers for the Pallas TPU kernels."""
 
-import jax
 import jax.numpy as jnp
 
 
@@ -15,18 +14,6 @@ def lane_mean(x):
     H = x.shape[-1]
     ones_h = jnp.full((H, H), 1.0 / H, jnp.float32)
     return jnp.dot(x.reshape(-1, H), ones_h,
-                   preferred_element_type=jnp.float32).reshape(x.shape)
-
-
-def lane_center(x):
-    """x - lane_mean(x) in ONE MXU matmul: x @ (I - ones/H). Folds the
-    [.., H] VPU subtract pass into the (nearly free) stat matmul."""
-    H = x.shape[-1]
-    # identity via iota (Mosaic kernels cannot capture array constants)
-    r = jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
-    m = jnp.where(r == c, 1.0 - 1.0 / H, -1.0 / H).astype(jnp.float32)
-    return jnp.dot(x.reshape(-1, H), m,
                    preferred_element_type=jnp.float32).reshape(x.shape)
 
 

@@ -49,19 +49,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-import os
-
 from decompdiff_tpu.models.common import FIXED_RBF_OFFSETS
 from decompdiff_tpu.ops.pallas.common import head_matrix
-from decompdiff_tpu.ops.pallas.common import lane_center as _lane_center
 from decompdiff_tpu.ops.pallas.common import lane_mean as _lane_mean
-
-# perf-experiment flags (module-level, read at trace time; see CLAUDE.md's
-# env-flag kernel-variant sweep pattern): forward-kernel only — leave OFF
-# for training (the backward recomputes at f32)
-_CHAIN_BF16 = os.environ.get('DD_EDGE_CHAIN_BF16', '0') == '1'
-_MXU_CENTER = os.environ.get('DD_EDGE_MXU_CENTER', '0') == '1'
-_ABL_EXP = os.environ.get('DD_ABL_EXP', '0') == '1'
 
 EDGE_FEAT_PAD = 128  # 4*21 = 84 (or 6*21 = 126) rows used, zero-padded
 _R1 = 21             # [rbf x20 | const-1] lanes per edge type
@@ -215,23 +205,12 @@ def _edge_kernel(xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref, ew_ref,
             preferred_element_type=jnp.float32)
         pre = pre.reshape(T, K, H)
         pre = pre + ti_ref[0][:, None, :]
-        if _MXU_CENTER:
-            dlt = _lane_center(pre)
-        else:
-            dlt = pre - _lane_mean(pre)
-        rstd = jax.lax.rsqrt(_lane_mean(dlt * dlt) + 1e-5)
-        if _CHAIN_BF16:
-            bf = jnp.bfloat16
-            y = dlt.astype(bf) * (rstd * lns_ref[0]).astype(bf) \
-                + lnb_ref[0].astype(bf)
-            y = jnp.maximum(y, jnp.asarray(0.0, bf))
-            o = jnp.dot(y.reshape(T * K, H), wo_ref[:].astype(bf),
-                        preferred_element_type=jnp.float32)
-        else:
-            y = dlt * rstd * lns_ref[0] + lnb_ref[0]
-            y = jnp.maximum(y, 0.0)
-            o = jnp.dot(y.reshape(T * K, H), wo_ref[:],
-                        preferred_element_type=jnp.float32)
+        dlt = pre - _lane_mean(pre)
+        y = dlt * jax.lax.rsqrt(_lane_mean(dlt * dlt) + 1e-5) \
+            * lns_ref[0] + lnb_ref[0]
+        y = jnp.maximum(y, 0.0)
+        o = jnp.dot(y.reshape(T * K, H), wo_ref[:],
+                    preferred_element_type=jnp.float32)
         return o.reshape(T, K, H) + bo_ref[0]
 
     k_t = branch(wek_ref, wjk_ref, wok_ref, bok_ref, lnsk_ref, lnbk_ref,
@@ -257,11 +236,7 @@ def _edge_kernel(xd_ref, mld_ref, idx_ref, idxT_ref, gsrc_ref, ew_ref,
     neg = jnp.float32(-1e30)
     hlog = jnp.where(valid[..., None] > 0.5, hlog, neg)
     m = jnp.maximum(jnp.max(hlog, axis=1, keepdims=True), -1e29)
-    if _ABL_EXP:  # timing-only ablation: WRONG math
-        e = jnp.where(valid[..., None] > 0.5,
-                      1.0 + 0.5 * (hlog - m), 0.0)
-    else:
-        e = jnp.where(valid[..., None] > 0.5, jnp.exp(hlog - m), 0.0)
+    e = jnp.where(valid[..., None] > 0.5, jnp.exp(hlog - m), 0.0)
     denom = jnp.maximum(e.sum(axis=1, keepdims=True), 1e-16)
     alpha = e / denom                                # [T, K, H] head-replicated
 

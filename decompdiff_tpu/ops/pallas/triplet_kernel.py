@@ -29,15 +29,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-import os
-
 from decompdiff_tpu.ops.pallas.common import head_matrix as _head_matrix
-from decompdiff_tpu.ops.pallas.common import lane_center as _lane_center
 from decompdiff_tpu.ops.pallas.common import lane_mean as _lane_mean
-
-# perf-experiment flag (forward LN only; see edge_kernel.py)
-_MXU_CENTER = os.environ.get('DD_EDGE_MXU_CENTER', '0') == '1'
-_ABL_EXP = os.environ.get('DD_ABL_EXP', '0') == '1'
 
 ANG_PAD = 16  # 13-dim angular code padded to a lane-friendly 16
 
@@ -93,10 +86,7 @@ def _angular_encode_padded(x, angf):
 
 
 def _layer_norm(x, scale, bias, eps=1e-5):
-    if _MXU_CENTER:
-        d = _lane_center(x)
-    else:
-        d = x - _lane_mean(x)
+    d = x - _lane_mean(x)
     var = _lane_mean(d * d)
     return d * jax.lax.rsqrt(var + eps) * scale + bias
 
@@ -164,11 +154,7 @@ def _kernel(angle_ref, tkj_k_ref, tij_k_ref, tkj_v_ref, tij_v_ref,
     hlog = jnp.where(valid[..., None] > 0.5, hlog, neg)
     m = jnp.max(hlog, axis=2, keepdims=True)
     m = jnp.maximum(m, -1e29)
-    if _ABL_EXP:  # timing-only ablation: WRONG math
-        e = jnp.where(valid[..., None] > 0.5,
-                      1.0 + 0.5 * (hlog - m), 0.0)
-    else:
-        e = jnp.where(valid[..., None] > 0.5, jnp.exp(hlog - m), 0.0)
+    e = jnp.where(valid[..., None] > 0.5, jnp.exp(hlog - m), 0.0)
     denom = jnp.maximum(e.sum(axis=2, keepdims=True), 1e-16)
     alpha = e * (1.0 / denom)                   # [IB, j, k, H] head-replicated
 

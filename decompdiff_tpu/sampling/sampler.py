@@ -191,14 +191,19 @@ def build_sample_step(model: DecompDiffModel, cfg: SampleConfig, params,
         else:
             b_next = bt
 
-        # guidance (ref :638-677). Strided note: the energy gradient is
-        # applied once per JUMP (num_steps times total), so the integrated
-        # guidance strength scales down with the step count.
+        # guidance (ref :638-677). Strided: the gradient is applied once
+        # per JUMP, so each application is scaled by the jump length
+        # (t - s) — the rectangle-rule approximation of the dense chain's
+        # per-step sum; without it a num_steps=100 run would get ~10x less
+        # integrated constraint strength than the reference protocol.
         if strided:
             pos_mean = model.pos_diff.q_posterior_mean_skip(pos0, xt, tb, sb)
         else:
             pos_mean = model.pos_diff.q_posterior_mean(pos0, xt, tb)
         grad = _guidance_grad(model, cfg, batch, xt, tb, offset, full_protein)
+        if strided:
+            grad = grad * (tb - sb).astype(grad.dtype).reshape(
+                (-1,) + (1,) * (grad.ndim - 1))
         pos_mean = pos_mean - grad
 
         if cfg.mmff_callback is not None:
@@ -269,8 +274,11 @@ def _sample_jit(model, cfg, params, rng, batch, init_pos, init_v, init_bond,
         # decreasing (numpy at trace time — cfg is a static argument); each
         # jump goes t_i -> t_{i+1}, the last one to the clean endpoint (-1)
         import numpy as _np
+        if cfg.num_steps > T:
+            raise ValueError(
+                f'strided sampling needs num_steps <= num_timesteps '
+                f'({cfg.num_steps} > {T})')
         ts = _np.linspace(T - 1, 0, cfg.num_steps).round().astype(_np.int32)
-        assert len(_np.unique(ts)) == len(ts), 'num_steps > num_timesteps'
         time_seq = jnp.asarray(ts)
         s_seq = jnp.asarray(_np.append(ts[1:], -1).astype(_np.int32))
     else:
