@@ -199,6 +199,123 @@ def split_by_assignment(assignment, frag_atom_sets, bond_pairs,
 
 
 # ---------------------------------------------------------------------------
+# first-party fragmentation front end (no RDKit)
+# ---------------------------------------------------------------------------
+
+def ring_bond_flags(num_atoms: int,
+                    bond_pairs: Sequence[Tuple[int, int]]) -> np.ndarray:
+    """flags[i] is True iff bond i lies on a cycle (its endpoints remain
+    connected when it is removed)."""
+    adj = {i: set() for i in range(num_atoms)}
+    for a, b in bond_pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    flags = np.zeros(len(bond_pairs), bool)
+    for i, (a, b) in enumerate(bond_pairs):
+        # BFS a -> b avoiding the direct edge
+        seen = {a}
+        queue = [a]
+        while queue and b not in seen:
+            nxt = []
+            for cur in queue:
+                for nb in adj[cur]:
+                    if cur == a and nb == b:
+                        continue
+                    if nb not in seen:
+                        seen.add(nb)
+                        nxt.append(nb)
+            queue = nxt
+        flags[i] = b in seen
+    return flags
+
+
+def bond_cut_fragments(num_atoms: int,
+                       bond_pairs: Sequence[Tuple[int, int]],
+                       bond_types: Optional[Sequence[int]] = None
+                       ) -> List[List[int]]:
+    """Fragments = connected components after cutting every acyclic single
+    bond whose endpoints both have degree >= 2 (rotatable-bond-style cuts,
+    keeping terminal groups attached to their neighbor).
+
+    Documented divergence: the reference fragments with RDKit BRICS
+    (ref utils/preprocess.py:18-62), which is SMARTS-environment-driven and
+    unavailable without RDKit. This cut rule yields ring systems, linkers
+    and capped terminals — the structure the downstream arm/scaffold
+    assignment actually consumes (fragment centroids + crossing-bond
+    terminality, assign_fragments above), so the pipeline stays runnable
+    in-image. When RDKit is installed, extract_submols (BRICS) is used
+    instead.
+    """
+    bond_pairs = [(int(a), int(b)) for a, b in bond_pairs]
+    degree = np.zeros(num_atoms, np.int64)
+    for a, b in bond_pairs:
+        degree[a] += 1
+        degree[b] += 1
+    in_ring = ring_bond_flags(num_atoms, bond_pairs)
+    if bond_types is None:
+        single = np.ones(len(bond_pairs), bool)
+    else:
+        single = np.asarray(bond_types) == 1
+    cut = single & ~in_ring & np.array(
+        [degree[a] >= 2 and degree[b] >= 2 for a, b in bond_pairs])
+
+    adj = {i: set() for i in range(num_atoms)}
+    for i, (a, b) in enumerate(bond_pairs):
+        if not cut[i]:
+            adj[a].add(b)
+            adj[b].add(a)
+    frags, seen = [], set()
+    for start in range(num_atoms):
+        if start in seen:
+            continue
+        comp, queue = [], [start]
+        seen.add(start)
+        while queue:
+            cur = queue.pop()
+            comp.append(cur)
+            for nb in adj[cur]:
+                if nb not in seen:
+                    seen.add(nb)
+                    queue.append(nb)
+        frags.append(sorted(comp))
+    return frags
+
+
+def undirected_bond_pairs(bond_index: np.ndarray,
+                          bond_type: Optional[np.ndarray] = None):
+    """Unique undirected (a, b) pairs (+ aligned types) from a directed
+    [2, E] bond index (data/mol.py MolRecord layout)."""
+    pairs, types, seen = [], [], set()
+    for e in range(bond_index.shape[1]):
+        a, b = int(bond_index[0, e]), int(bond_index[1, e])
+        key = (min(a, b), max(a, b))
+        if key in seen:
+            continue
+        seen.add(key)
+        pairs.append(key)
+        if bond_type is not None:
+            types.append(int(bond_type[e]))
+    return pairs, (types if bond_type is not None else None)
+
+
+def extract_submols_record(mol, pocket_alpha_centers, verbose: bool = False):
+    """extract_submols for a first-party MolRecord (data/mol.py): bond-cut
+    fragmentation + the shared numpy assignment core. Same return contract
+    as extract_submols (ref utils/preprocess.py:139-281)."""
+    bond_pairs, bond_types = undirected_bond_pairs(mol.bond_index,
+                                                   mol.bond_type)
+    frag_atom_sets = bond_cut_fragments(mol.num_atoms, bond_pairs,
+                                        bond_types)
+    pos = np.asarray(mol.pos, np.float64)
+    centroids = np.stack([pos[list(s)].mean(0) for s in frag_atom_sets])
+    assignment, _ = assign_fragments(centroids, frag_atom_sets, bond_pairs,
+                                     pocket_alpha_centers, verbose)
+    all_submol_atom_idx, valid_pocket_id = split_by_assignment(
+        assignment, frag_atom_sets, bond_pairs, len(pocket_alpha_centers))
+    return centroids, assignment, all_submol_atom_idx, valid_pocket_id
+
+
+# ---------------------------------------------------------------------------
 # BRICS front end (RDKit-gated)
 # ---------------------------------------------------------------------------
 

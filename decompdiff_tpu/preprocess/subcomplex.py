@@ -108,6 +108,23 @@ def run_alphaspace(protein_path: str, ligand_path: str, top_n: int = 10):
     return pockets[:top_n], receptor
 
 
+def run_alphaspace_first_party(protein_path: str, ligand_path: str,
+                               top_n: int = 10):
+    """Contact pockets via the first-party alpha-sphere finder
+    (preprocess/alphaspace.py) — same contract as run_alphaspace but with
+    no alphaspace2/mdtraj dependency. Returns (pockets, protein)."""
+    from decompdiff_tpu.data.mol import parse_sdf_file
+    from decompdiff_tpu.preprocess.alphaspace import find_pockets
+
+    protein = PDBProtein(protein_path)
+    mol = parse_sdf_file(ligand_path)
+    pockets = find_pockets(
+        np.asarray(protein.pos, np.float64).reshape(-1, 3),
+        receptor_element=np.asarray(protein.element),
+        binder_pos=np.asarray(mol.pos, np.float64))
+    return pockets[:top_n], protein
+
+
 def extract_subcomplex(protein_path: str, ligand_sdf_path: str,
                        mol=None, pocket_alpha_centers=None,
                        submol_radius: float = 10.0,
@@ -116,22 +133,44 @@ def extract_subcomplex(protein_path: str, ligand_sdf_path: str,
     """One protein-ligand pair -> decomposition meta dict
     (ref preprocess_subcomplex.py:71-213).
 
-    Either pass an RDKit `mol` + `pocket_alpha_centers` (testable path), or
-    rely on RDKit/AlphaSpace2 to derive them from the file paths.
+    Either pass a `mol` (RDKit Mol or first-party MolRecord) +
+    `pocket_alpha_centers` (testable path), or let the driver derive both:
+    the ligand via RDKit when installed else data/mol.py, pockets via
+    alphaspace2 when installed else the first-party alpha-sphere finder
+    (preprocess/alphaspace.py). The RDKit-free path fragments with bond
+    cuts instead of BRICS (see decompose.bond_cut_fragments divergence
+    note).
     """
     if mol is None:
-        from rdkit import Chem
-        mol = Chem.MolFromMolFile(ligand_sdf_path)
-        if mol is None:
-            raise DecomposeError(f'cannot parse {ligand_sdf_path}')
+        try:
+            from rdkit import Chem
+        except ImportError:
+            from decompdiff_tpu.data.mol import parse_sdf_file
+            mol = parse_sdf_file(ligand_sdf_path)
+        else:
+            mol = Chem.MolFromMolFile(ligand_sdf_path)
+            if mol is None:
+                raise DecomposeError(f'cannot parse {ligand_sdf_path}')
     if pocket_alpha_centers is None:
-        pockets, _ = run_alphaspace(protein_path, ligand_sdf_path)
+        try:
+            pockets, _ = run_alphaspace(protein_path, ligand_sdf_path)
+        except ImportError:
+            pockets, _ = run_alphaspace_first_party(protein_path,
+                                                    ligand_sdf_path)
+        if len(pockets) == 0:
+            raise DecomposeError('no contact pockets found')
         pocket_alpha_centers = [
             np.stack([a.centroid for a in p.alphas]) for p in pockets]
 
     protein = PDBProtein(protein_path)
-    centroids, assignment, all_submol_atom_idx, valid_pocket_id = \
-        extract_submols(mol, pocket_alpha_centers)
+    is_record = hasattr(mol, 'bond_index')  # first-party MolRecord
+    if is_record:
+        from decompdiff_tpu.preprocess.decompose import extract_submols_record
+        centroids, assignment, all_submol_atom_idx, valid_pocket_id = \
+            extract_submols_record(mol, pocket_alpha_centers)
+    else:
+        centroids, assignment, all_submol_atom_idx, valid_pocket_id = \
+            extract_submols(mol, pocket_alpha_centers)
 
     num_arms = len(all_submol_atom_idx) - 1
     num_scaffold = 1 if len(all_submol_atom_idx[-1]) > 0 else 0
@@ -139,7 +178,8 @@ def extract_subcomplex(protein_path: str, ligand_sdf_path: str,
         all_submol_atom_idx = all_submol_atom_idx[:-1] + [[]]
         num_scaffold = 1  # keep the scaffold slot (may be empty)
 
-    pos = mol.GetConformer().GetPositions()
+    pos = (np.asarray(mol.pos, np.float64) if is_record
+           else mol.GetConformer().GetPositions())
     # per-arm pocket residues within submol_radius of the arm atoms (:128-137)
     all_pocket_atom_serial, all_pocket_residues = [], []
     for arm_atoms in all_submol_atom_idx[:-1]:

@@ -143,9 +143,19 @@ def main():
     mmff_kwargs = {}
     for d in energy_drift:
         if d['type'] == 'mmff_min':
-            from decompdiff_tpu.guidance.mmff import make_mmff_callback
+            try:
+                from decompdiff_tpu.guidance.mmff import make_mmff_callback
+                callback = make_mmff_callback(atom_mode)
+            except ImportError:
+                # RDKit absent: first-party geometric perception + light
+                # force field (guidance/ffmin.py) instead of MMFF94s
+                from decompdiff_tpu.guidance.ffmin import make_ff_callback
+                callback = make_ff_callback(atom_mode)
+                logger.info('mmff_min: RDKit unavailable, using the '
+                            'first-party force-field relaxation '
+                            '(guidance/ffmin.py)')
             mmff_kwargs = dict(
-                mmff_callback=make_mmff_callback(atom_mode),
+                mmff_callback=callback,
                 mmff_start_time=int(d.get('start_time', 0)),
                 mmff_end_time=int(d.get('end_time', 0)))
             if jax.default_backend() != 'cpu':

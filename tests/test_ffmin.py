@@ -1,0 +1,110 @@
+"""First-party force-field relaxation (guidance/ffmin.py) — the RDKit-free
+implementation of the mmff_min conformer drift
+(ref utils/guidance_funcs.py:121-158)."""
+
+import numpy as np
+
+from decompdiff_tpu.constants import COVALENT_RADII
+from decompdiff_tpu.guidance import ffmin
+
+
+def _angle_deg(pos, i, j, k):
+    u = pos[i] - pos[j]
+    v = pos[k] - pos[j]
+    cos = u @ v / (np.linalg.norm(u) * np.linalg.norm(v))
+    return np.degrees(np.arccos(np.clip(cos, -1, 1)))
+
+
+def test_bond_relaxes_to_covalent_equilibrium():
+    pos = np.array([[0.0, 0, 0], [2.2, 0, 0]])
+    element = np.array([6, 6])
+    relaxed = ffmin.relax_positions(pos, element, {(0, 1): 1})
+    d = np.linalg.norm(relaxed[0] - relaxed[1])
+    assert np.isclose(d, 2 * COVALENT_RADII[6], atol=1e-3)
+
+
+def test_double_bond_shorter_than_single():
+    pos = np.array([[0.0, 0, 0], [1.8, 0, 0]])
+    element = np.array([6, 6])
+    d1 = np.linalg.norm(np.diff(
+        ffmin.relax_positions(pos, element, {(0, 1): 1}), axis=0))
+    d2 = np.linalg.norm(np.diff(
+        ffmin.relax_positions(pos, element, {(0, 1): 2}), axis=0))
+    assert d2 < d1
+
+
+def test_angle_relaxes_toward_tetrahedral():
+    # C-C-C bent to 90 degrees opens toward 109.47
+    pos = np.array([[1.5, 0, 0], [0.0, 0, 0], [0.0, 1.5, 0]])
+    element = np.array([6, 6, 6])
+    relaxed = ffmin.relax_positions(pos, element, {(0, 1): 1, (1, 2): 1})
+    assert abs(_angle_deg(relaxed, 0, 1, 2) - 109.47) < 1.0
+
+
+def test_nonbonded_clash_pushed_apart():
+    # atom 2 is 1.0 A from atom 1 but not bonded to anything
+    pos = np.array([[0.0, 0, 0], [1.54, 0, 0], [1.54, 1.0, 0]])
+    element = np.array([6, 6, 6])
+    relaxed = ffmin.relax_positions(pos, element, {(0, 1): 1})
+    cut = ffmin.CLASH_SCALE * 2 * ffmin.VDW_RADII[6]
+    assert np.linalg.norm(relaxed[2] - relaxed[1]) >= cut - 1e-3
+    assert np.linalg.norm(relaxed[2] - relaxed[0]) >= cut - 1e-3
+
+
+def test_energy_gradient_matches_finite_differences():
+    rng = np.random.default_rng(0)
+    pos = np.array([[0.0, 0, 0], [1.4, 0, 0], [2.1, 1.2, 0],
+                    [2.1, 2.6, 0.4], [0.5, 0.9, 2.0]])
+    pos = pos + rng.normal(size=pos.shape) * 0.05
+    element = np.array([6, 6, 7, 8, 6])
+    bonds = {(0, 1): 1, (1, 2): 2, (2, 3): 1}
+    terms = ffmin.build_ff_terms(pos, element, bonds)
+    x = pos.reshape(-1)
+    e0, grad = ffmin.ff_energy_grad(x, terms)
+    assert e0 > 0
+    eps = 1e-6
+    num = np.zeros_like(x)
+    for i in range(len(x)):
+        xp, xm = x.copy(), x.copy()
+        xp[i] += eps
+        xm[i] -= eps
+        num[i] = (ffmin.ff_energy_grad(xp, terms)[0]
+                  - ffmin.ff_energy_grad(xm, terms)[0]) / (2 * eps)
+    np.testing.assert_allclose(grad, num, rtol=1e-5, atol=1e-5)
+
+
+def test_sp_center_equilibrium_is_linear():
+    # triple-bonded center with 2 neighbors -> 180 degrees
+    assert ffmin._equilibrium_angle(6, 2, 3) == np.cos(np.pi)
+    # divalent oxygen bends
+    assert np.isclose(ffmin._equilibrium_angle(8, 2, 1),
+                      np.cos(np.deg2rad(104.5)))
+
+
+def test_callback_masks_and_disconnected_rejection():
+    cb = ffmin.make_ff_callback('basic')
+    B, Nl = 2, 6
+    pos = np.zeros((B, Nl, 3), np.float32)
+    # graph 0: perturbed 4-carbon chain (connected after perception)
+    chain = np.array([[0.0, 0, 0], [1.5, 0.1, 0], [2.9, -0.2, 0.2],
+                      [4.4, 0.15, -0.1]])
+    pos[0, :4] = chain
+    # graph 1: two atoms 10 A apart -> disconnected -> zero drift
+    pos[1, 0] = [0, 0, 0]
+    pos[1, 1] = [10, 0, 0]
+    v = np.ones((B, Nl), np.int64)  # index 1 -> carbon in 'basic' mode
+    mask = np.zeros((B, Nl), bool)
+    mask[0, :4] = True
+    mask[1, :2] = True
+    out = cb(pos, v, mask)
+    assert out.shape == (B, Nl, 3)
+    assert np.abs(out[0, :4]).max() > 0  # perturbed chain gets a drift
+    assert np.all(out[0, 4:] == 0)       # padding rows untouched
+    assert np.all(out[1] == 0)           # disconnected -> rejected
+    # drift points from prediction toward the relaxed geometry:
+    # pred + (-drift) steps closer to equilibrium bond lengths
+    relaxed_like = chain - out[0, :4]
+    d_orig = np.linalg.norm(np.diff(chain, axis=0), axis=1)
+    d_rel = np.linalg.norm(np.diff(relaxed_like, axis=0), axis=1)
+    assert np.abs(d_rel - 2 * COVALENT_RADII[6]).max() \
+        < np.abs(d_orig - 2 * COVALENT_RADII[6]).max() + 1e-6

@@ -94,6 +94,20 @@ def test_ring_callback_pluggable_into_sampler():
     assert np.isfinite(np.asarray(out['pos'])).all()
 
 
+def test_ff_relax_callback_through_sampler():
+    """The REAL first-party mmff_min replacement (guidance/ffmin.py) driven
+    through the scanned sampler — the RDKit-free execution of the drift the
+    reference computes at decompdiff.py:669-672."""
+    from decompdiff_tpu.guidance.ffmin import make_ff_callback
+
+    model, batch, params = _setup()
+    cb = make_ff_callback('basic', max_iter=30)
+    out = _run(model, batch, params,
+               SampleConfig(num_steps=5, save_traj=False, mmff_callback=cb,
+                            mmff_start_time=3, mmff_end_time=0))
+    assert np.isfinite(np.asarray(out['pos'])).all()
+
+
 # ---------------------------------------------------------------------------
 # ring repulsion = exact gradient of the reference hinge
 # ---------------------------------------------------------------------------
