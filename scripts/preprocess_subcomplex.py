@@ -2,9 +2,10 @@
 
 Role parity with ref scripts/data_preparation/preprocess_subcomplex.py:
 multiprocessing over (protein, ligand) pairs with per-item timeout and an
-error taxonomy written to fail_index.pkl. Requires RDKit (BRICS) and
-AlphaSpace2/mdtraj (pocket detection) — absent in this image; the script
-checks and reports what's missing.
+error taxonomy written to fail_index.pkl. Prefers RDKit (BRICS) and
+AlphaSpace2/mdtraj (pocket detection) when installed; without them it runs
+the first-party fallbacks (preprocess/alphaspace.py alpha-sphere pockets +
+decompose.bond_cut_fragments) — see the PARITY.md divergence note.
 
 Usage:
     python scripts/preprocess_subcomplex.py INDEX_PKL --raw_root DIR
@@ -62,10 +63,9 @@ def main():
     except Exception:
         missing.append('alphaspace2 + mdtraj (pocket detection)')
     if missing:
-        print('ERROR: preprocessing requires missing packages:')
+        print('NOTE: optional packages missing, using first-party fallbacks:')
         for m in missing:
             print(' -', m)
-        sys.exit(2)
 
     with open(args.index, 'rb') as f:
         index = pickle.load(f)

@@ -249,3 +249,36 @@ def test_extract_subcomplex_rdkit_free_end_to_end(tmp_path):
     from decompdiff_tpu.data.protein import PDBProtein
     pocket = PDBProtein(meta['pocket_file'])
     assert len(pocket.element) > 0
+
+
+def test_preprocess_cli_first_party(tmp_path):
+    """The offline decomposition CLI runs end-to-end on the first-party
+    stack (role parity: ref scripts/data_preparation/
+    preprocess_subcomplex.py main loop + fail taxonomy)."""
+    import pickle
+    import subprocess
+    import sys
+
+    raw = tmp_path / 'raw'
+    raw.mkdir()
+    pos = _dumbbell_lattice()
+    (raw / 'receptor.pdb').write_text(
+        _lattice_pdb_block(pos, ['C'] * len(pos)))
+    (raw / 'ligand.sdf').write_text(DUMBBELL_LIGAND_SDF)
+    index = [{'protein': 'receptor.pdb', 'ligand': 'ligand.sdf'},
+             {'protein': 'missing.pdb', 'ligand': 'ligand.sdf'}]
+    idx_pkl = tmp_path / 'index.pkl'
+    idx_pkl.write_bytes(pickle.dumps(index))
+
+    out = subprocess.run(
+        [sys.executable, 'scripts/preprocess_subcomplex.py', str(idx_pkl),
+         '--raw_root', str(raw), '--dest', str(tmp_path / 'dest'),
+         '--num_workers', '1', '--timeout', '120'],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    results = pickle.loads((tmp_path / 'dest' / 'index.pkl').read_bytes())
+    fails = pickle.loads(
+        (tmp_path / 'dest' / 'fail_index.pkl').read_bytes())
+    assert len(results) == 1
+    assert results[0]['data']['num_arms'] == 2
+    assert len(fails) == 1 and fails[0]['status'] == 'missing_file'
