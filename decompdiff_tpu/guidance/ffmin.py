@@ -30,7 +30,7 @@ import numpy as np
 from scipy.optimize import minimize
 
 from decompdiff_tpu.constants import (
-    COVALENT_RADII, atomic_numbers_from_index)
+    COVALENT_RADII, atomic_numbers_from_index, is_aromatic_from_index)
 from decompdiff_tpu.reconstruct.ligan import perceive_molecule
 
 VDW_RADII = {1: 1.20, 6: 1.70, 7: 1.55, 8: 1.52, 9: 1.47, 15: 1.80,
@@ -38,17 +38,24 @@ VDW_RADII = {1: 1.20, 6: 1.70, 7: 1.55, 8: 1.52, 9: 1.47, 15: 1.80,
 # equilibrium-length scale per bond order (single/double/triple/aromatic)
 ORDER_SCALE = {1: 1.00, 2: 0.87, 3: 0.78, 4: 0.93}
 K_BOND, K_ANGLE, K_REP = 300.0, 50.0, 50.0
-CLASH_SCALE = 0.85  # repulsion onset at 0.85 * (vdw_i + vdw_j)
+# repulsion onset at 0.80 * (vdw_i + vdw_j): for two carbons that is
+# 2.72 A, safely below an aromatic ring's para distance (~2.78 A in
+# benzene) so flat rings carry no residual clash strain, while genuine
+# steric overlaps (< ~2.7 A heavy-atom pairs) are still pushed apart
+CLASH_SCALE = 0.80
 
 
 def _equilibrium_angle(z: int, n_neighbors: int, max_order: int) -> float:
-    """cos(theta0) for an angle centered on atom with atomic number z."""
+    """cos(theta0) for an angle centered on atom with atomic number z.
+    max_order uses the bond-type codes (1/2/3 orders, 4 = aromatic)."""
     if n_neighbors >= 4:
         theta = 109.47
     elif n_neighbors == 3:
         theta = 120.0
-    elif max_order >= 3:
+    elif max_order == 3:
         theta = 180.0  # sp center (e.g. nitrile / alkyne carbon)
+    elif max_order == 4:
+        theta = 120.0  # 2-neighbor aromatic ring atom
     elif z in (8, 16):
         theta = 104.5  # divalent O/S bend
     else:
@@ -177,20 +184,8 @@ def _is_connected(n: int, bonds) -> bool:
     """Single-component check — the RDKit-free analog of the reference's
     `'.' in Chem.MolToSmiles(mol)` rejection (ref guidance_funcs.py:143-146).
     """
-    if n <= 1:
-        return True
-    adj = {i: set() for i in range(n)}
-    for a, b in bonds:
-        adj[a].add(b)
-        adj[b].add(a)
-    seen, queue = {0}, [0]
-    while queue:
-        cur = queue.pop()
-        for nb in adj[cur]:
-            if nb not in seen:
-                seen.add(nb)
-                queue.append(nb)
-    return len(seen) == n
+    from decompdiff_tpu.reconstruct.builder import _connected_fragments
+    return len(_connected_fragments(n, bonds)) <= 1
 
 
 def make_ff_callback(atom_enc_mode: str = 'basic', max_iter: int = 200):
@@ -211,8 +206,13 @@ def make_ff_callback(atom_enc_mode: str = 'basic', max_iter: int = 200):
                 continue
             p = pos[b][m]
             element = atomic_numbers_from_index(v[b][m], atom_enc_mode)
+            # carry the predicted aromatic channel into perception, like
+            # the RDKit parity path does (guidance/mmff.py:36-38);
+            # None for mode 'basic'
+            aromatic = is_aromatic_from_index(v[b][m], atom_enc_mode)
             try:
-                bonds, _ = perceive_molecule(p, element)
+                bonds, _ = perceive_molecule(p, element,
+                                             indicators=aromatic)
             except Exception:
                 continue
             if not bonds or not _is_connected(len(p), bonds):

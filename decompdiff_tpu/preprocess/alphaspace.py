@@ -35,7 +35,11 @@ from typing import List, NamedTuple, Optional
 import numpy as np
 from scipy.spatial import Delaunay, cKDTree
 
-NONPOLAR_ELEMENTS = (6, 16)  # C, S — complement of eval_arms.POLAR_ELEMENTS
+# C, S: sulfur counts as hydrophobic for alpha-space weighting (AlphaSpace2
+# convention) even though eval_arms.POLAR_ELEMENTS counts it polar for the
+# lining polar-ratio metric (reference convention) — the sets deliberately
+# overlap on S.
+NONPOLAR_ELEMENTS = (6, 16)
 _LINKAGE_MAX = 6000  # above this, switch to the KD-tree single-linkage path
 
 

@@ -151,19 +151,25 @@ def extract_subcomplex(protein_path: str, ligand_sdf_path: str,
             mol = Chem.MolFromMolFile(ligand_sdf_path)
             if mol is None:
                 raise DecomposeError(f'cannot parse {ligand_sdf_path}')
+    protein = PDBProtein(protein_path)
+    is_record = hasattr(mol, 'bond_index')  # first-party MolRecord
+    pos = (np.asarray(mol.pos, np.float64) if is_record
+           else mol.GetConformer().GetPositions())
     if pocket_alpha_centers is None:
         try:
             pockets, _ = run_alphaspace(protein_path, ligand_sdf_path)
         except ImportError:
-            pockets, _ = run_alphaspace_first_party(protein_path,
-                                                    ligand_sdf_path)
+            # first-party finder, reusing the already-parsed protein/mol
+            # (run_alphaspace_first_party would re-parse both files)
+            from decompdiff_tpu.preprocess.alphaspace import find_pockets
+            pockets = find_pockets(
+                np.asarray(protein.pos, np.float64).reshape(-1, 3),
+                receptor_element=np.asarray(protein.element),
+                binder_pos=pos)[:10]
         if len(pockets) == 0:
             raise DecomposeError('no contact pockets found')
         pocket_alpha_centers = [
             np.stack([a.centroid for a in p.alphas]) for p in pockets]
-
-    protein = PDBProtein(protein_path)
-    is_record = hasattr(mol, 'bond_index')  # first-party MolRecord
     if is_record:
         from decompdiff_tpu.preprocess.decompose import extract_submols_record
         centroids, assignment, all_submol_atom_idx, valid_pocket_id = \
@@ -178,8 +184,6 @@ def extract_subcomplex(protein_path: str, ligand_sdf_path: str,
         all_submol_atom_idx = all_submol_atom_idx[:-1] + [[]]
         num_scaffold = 1  # keep the scaffold slot (may be empty)
 
-    pos = (np.asarray(mol.pos, np.float64) if is_record
-           else mol.GetConformer().GetPositions())
     # per-arm pocket residues within submol_radius of the arm atoms (:128-137)
     all_pocket_atom_serial, all_pocket_residues = [], []
     for arm_atoms in all_submol_atom_idx[:-1]:
@@ -207,12 +211,20 @@ def extract_subcomplex(protein_path: str, ligand_sdf_path: str,
         pocket_pdb = os.path.join(out_dir, f'{name}_pocket.pdb')
         with open(pocket_pdb, 'w') as f:
             f.write(protein.residues_to_pdb_block(union_residues))
+        # downstream dataset contract (ref preprocess_subcomplex.py:202,
+        # consumed at ref pl_pair_dataset.py:128-132 /
+        # data/dataset.py build_store_from_index): `protein_file` is the
+        # UNION POCKET pdb and `meta_file` points at this pickle; the full
+        # receptor path moves to `src_protein_file`
+        meta['src_protein_file'] = protein_path
+        meta['protein_file'] = pocket_pdb
         meta['pocket_file'] = pocket_pdb
+        meta['meta_file'] = os.path.join(out_dir, f'{name}_meta.pkl')
         for i, residues in enumerate(all_pocket_residues):
             p = os.path.join(out_dir, f'{name}_pocket_arm{i}.pdb')
             with open(p, 'w') as f:
                 f.write(protein.residues_to_pdb_block(residues,
                                                       name=f'POCKET_{i}'))
-        with open(os.path.join(out_dir, f'{name}_meta.pkl'), 'wb') as f:
+        with open(meta['meta_file'], 'wb') as f:
             pickle.dump({'data': meta}, f)
     return meta

@@ -139,7 +139,8 @@ def main():
     energy_drift = tuple(dict(d) for d in scfg.get('energy_drift', []))
     # mmff_min is the one host-coupled drift: wire its pure_callback + the
     # active window (ref models/decompdiff.py:669-672 gates on
-    # [end_time, start_time)); raises informatively without RDKit
+    # [end_time, start_time)); without RDKit it falls back to the
+    # first-party force field (guidance/ffmin.py)
     mmff_kwargs = {}
     for d in energy_drift:
         if d['type'] == 'mmff_min':

@@ -255,10 +255,12 @@ def test_preprocess_cli_first_party(tmp_path):
     """The offline decomposition CLI runs end-to-end on the first-party
     stack (role parity: ref scripts/data_preparation/
     preprocess_subcomplex.py main loop + fail taxonomy)."""
+    import os
     import pickle
     import subprocess
     import sys
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     raw = tmp_path / 'raw'
     raw.mkdir()
     pos = _dumbbell_lattice()
@@ -274,7 +276,7 @@ def test_preprocess_cli_first_party(tmp_path):
         [sys.executable, 'scripts/preprocess_subcomplex.py', str(idx_pkl),
          '--raw_root', str(raw), '--dest', str(tmp_path / 'dest'),
          '--num_workers', '1', '--timeout', '120'],
-        capture_output=True, text=True, timeout=300)
+        capture_output=True, text=True, timeout=300, cwd=repo)
     assert out.returncode == 0, out.stderr
     results = pickle.loads((tmp_path / 'dest' / 'index.pkl').read_bytes())
     fails = pickle.loads(
@@ -282,3 +284,21 @@ def test_preprocess_cli_first_party(tmp_path):
     assert len(results) == 1
     assert results[0]['data']['num_arms'] == 2
     assert len(fails) == 1 and fails[0]['status'] == 'missing_file'
+
+    # the CLI output satisfies the dataset-builder contract
+    # (data.meta_file -> meta with POCKET protein_file,
+    # ref pl_pair_dataset.py:128-132): raw files -> trainable store
+    from decompdiff_tpu.data.dataset import build_store_from_index
+    from decompdiff_tpu.data.store import DDStore
+
+    store_path = str(tmp_path / 'built.ddstore')
+    build_store_from_index(str(tmp_path / 'dest'), store_path)
+    store = DDStore(store_path)
+    assert len(store) == 1
+    rec = store[0]
+    assert rec['num_arms'] == 2
+    assert rec['ligand_pos'].shape == (9, 3)
+    assert rec['pocket_atom_masks'].shape[0] == 2
+    assert rec['arms_prior'] is not None
+    # the record's protein is the trimmed pocket, not the full receptor
+    assert len(rec['protein_element']) < len(_dumbbell_lattice())

@@ -79,6 +79,33 @@ def test_sp_center_equilibrium_is_linear():
     # divalent oxygen bends
     assert np.isclose(ffmin._equilibrium_angle(8, 2, 1),
                       np.cos(np.deg2rad(104.5)))
+    # 2-neighbor AROMATIC ring carbon is trigonal, not linear (bond-type
+    # code 4 must not hit the sp branch)
+    assert np.isclose(ffmin._equilibrium_angle(6, 2, 4),
+                      np.cos(np.deg2rad(120.0)))
+
+
+def test_aromatic_ring_angles_are_trigonal():
+    # benzene-like ring perceived with type-4 bonds: every in-ring angle
+    # equilibrium must be 120 degrees
+    ang = np.pi / 3 * np.arange(6)
+    pos = 1.39 / (2 * np.sin(np.pi / 6)) * np.stack(
+        [np.cos(ang), np.sin(ang), np.zeros(6)], axis=1)
+    element = np.full(6, 6)
+    bonds = {(i, (i + 1) % 6) if i < 5 else (0, 5): 4 for i in range(6)}
+    bonds = {(min(a, b), max(a, b)): 4 for (a, b) in bonds}
+    terms = ffmin.build_ff_terms(pos, element, bonds)
+    assert len(terms['angle_idx']) == 6
+    np.testing.assert_allclose(terms['angle_cos0'],
+                               np.cos(np.deg2rad(120.0)), atol=1e-12)
+    relaxed = ffmin.relax_positions(pos, element, bonds)
+    d = np.linalg.norm(relaxed[list(range(6))]
+                       - relaxed[[1, 2, 3, 4, 5, 0]], axis=1)
+    # relaxes to the aromatic equilibrium length without ring strain
+    # (para pairs at ~2x the side sit OUTSIDE the clash cutoff, so the
+    # repulsion term must not inflate the ring)
+    assert np.allclose(d, 2 * COVALENT_RADII[6] * ffmin.ORDER_SCALE[4],
+                       atol=5e-3)
 
 
 def test_callback_masks_and_disconnected_rejection():
