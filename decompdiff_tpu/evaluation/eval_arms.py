@@ -32,6 +32,20 @@ def compute_occupancy(pocket, ligand_pos) -> float:
                                          pocket.nonpolar_space, ligand_pos)
 
 
+def compute_polar_ratio(receptor_elements, pocket, ligand_elements):
+    """Pocket-object front end (ref :20-29): the pocket's lining atoms are
+    sliced out of the receptor's atomic numbers (the mdtraj
+    `receptor.atom_slice(pocket.lining_atoms_idx)` analog) and compared
+    against the ligand's. Works with first-party AlphaPocket objects
+    (``lining_atom_idx``) and alphaspace2 pockets (``lining_atoms_idx``)."""
+    lining = getattr(pocket, 'lining_atom_idx', None)
+    if lining is None:
+        lining = pocket.lining_atoms_idx
+    receptor = np.asarray(receptor_elements)
+    return compute_polar_ratio_from_elements(receptor[np.asarray(lining)],
+                                             ligand_elements)
+
+
 def compute_polar_ratio_from_elements(pocket_elements, ligand_elements):
     """Polar-atom fractions for pocket lining atoms and ligand atoms
     (ref :20-29), on plain atomic-number arrays."""

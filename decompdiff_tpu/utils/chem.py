@@ -84,10 +84,48 @@ def get_rmsd(ref, pred, heavy_only=True) -> float:
     return rdMolAlign.GetBestRMS(pred, ref)
 
 
+def _kabsch_rmsd(a: np.ndarray, b: np.ndarray) -> float:
+    """Optimal-rotation RMSD between identically-indexed coordinate sets.
+    First-party stand-in for rdMolAlign.GetBestRMS (which additionally
+    searches symmetry-equivalent atom mappings — documented divergence)."""
+    a = np.asarray(a, np.float64) - np.mean(a, 0)
+    b = np.asarray(b, np.float64) - np.mean(b, 0)
+    u, _, vt = np.linalg.svd(a.T @ b)
+    d = np.sign(np.linalg.det(u @ vt))
+    rot = u @ np.diag([1.0, 1.0, d]) @ vt
+    return float(np.sqrt(np.mean(np.sum((a @ rot - b) ** 2, axis=-1))))
+
+
+def _ff_optimize_record(record):
+    """First-party force-field minimization of a MolRecord via the ffmin
+    engine (role parity with ref utils/chem.py:71-107 when RDKit/MMFF are
+    absent); returns (energy_change, rmsd, relaxed_record) or (None,)."""
+    from decompdiff_tpu.guidance.ffmin import (
+        build_ff_terms, ff_energy_grad, relax_positions)
+    from decompdiff_tpu.reconstruct.builder import _undirected_bonds
+    bonds = _undirected_bonds(record.bond_index, record.bond_type)
+    if not bonds:
+        return (None,)
+    pos = np.asarray(record.pos, np.float64).reshape(-1, 3)
+    try:
+        terms = build_ff_terms(pos, record.element, bonds)
+        energy_before = ff_energy_grad(pos.reshape(-1), terms)[0]
+        relaxed = relax_positions(pos, record.element, bonds)
+        energy_after = ff_energy_grad(relaxed.reshape(-1), terms)[0]
+    except Exception:
+        return (None,)
+    out = deepcopy(record)
+    out.pos = relaxed.astype(np.float32)
+    return (float(energy_before - energy_after),
+            _kabsch_rmsd(pos, relaxed), out)
+
+
 def ff_optimize(ori_mol, addHs=False, enable_torsion=False):
     """MMFF94s minimization; returns (energy_change, rmsd, mol) or (None,)
-    (ref utils/chem.py:71-107)."""
-    _require_rdkit()
+    (ref utils/chem.py:71-107). MolRecords (and any input when RDKit is
+    absent) route through the first-party ffmin force field instead."""
+    if hasattr(ori_mol, 'bond_index') or not HAS_RDKIT:
+        return _ff_optimize_record(ori_mol)
     mol = deepcopy(ori_mol)
     Chem.GetSymmSSSR(mol)
     if addHs:

@@ -236,3 +236,22 @@ def test_config_to_dict_recurses_nested_lists(tmp_path):
     out = tmp_path / 'c.yml'
     save_config(cfg, str(out))   # must not raise RepresenterError
     assert yaml.safe_load(open(out))['deep'][0][0]['y'] == 2
+
+
+def test_polar_ratio_pocket_front():
+    from decompdiff_tpu.evaluation.eval_arms import compute_polar_ratio
+
+    receptor = np.array([6, 7, 8, 6, 16, 6])
+
+    class FirstParty:                 # AlphaPocket-style attribute
+        lining_atom_idx = np.array([1, 2, 3])
+
+    pr, lr = compute_polar_ratio(receptor, FirstParty(), [6, 7])
+    assert pr == pytest.approx(2 / 3)
+    assert lr == pytest.approx(0.5)
+
+    class AlphaSpace2:                # alphaspace2-style attribute
+        lining_atoms_idx = np.array([0, 4])
+
+    pr2, _ = compute_polar_ratio(receptor, AlphaSpace2(), [6])
+    assert pr2 == pytest.approx(0.5)  # S polar, C not (ref eval_arms.py:20-24)

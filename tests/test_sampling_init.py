@@ -170,3 +170,68 @@ def test_stat_mode_without_scaffold_prior_zero_std(raw):
     assert arm_counts == [3, 3]
     np.testing.assert_allclose(stds[:2], 0.7)
     np.testing.assert_allclose(stds[-1], 0.0)
+
+
+def test_stat_mode_with_real_sklearn_pickle(raw, tmp_path):
+    """Dress rehearsal for the released natom_models.pkl: REAL sklearn
+    regressors pickled in the exact reference dict schema (ref
+    utils/prior.py:162-208 — keys arm_model/armstd_model/sca_model/
+    scastd_model, radial-count features over np.linspace(1, 10, 50)),
+    loaded via NumAtomsSampler.from_pickle and driven through the
+    beta_prior/'stat' generation init."""
+    import pickle
+
+    sklearn = pytest.importorskip('sklearn')
+    from sklearn.ensemble import GradientBoostingRegressor
+    from sklearn.linear_model import LinearRegression
+
+    from decompdiff_tpu.priors.atom_num import NumAtomsSampler
+
+    gen = np.random.default_rng(0)
+    x_arm = gen.integers(0, 60, (60, 50)).astype(float)
+    arm = GradientBoostingRegressor(
+        n_estimators=5, max_depth=2, random_state=0).fit(
+        x_arm, 5.0 + x_arm.mean(1) / 10.0)
+    x_std = gen.integers(2, 20, (30, 1)).astype(float)
+    armstd = LinearRegression().fit(x_std, 0.05 * x_std[:, 0] + 0.5)
+    x_sca = np.concatenate(
+        [gen.integers(0, 60, (60, 50)), gen.normal(size=(60, 1))], axis=1)
+    sca = GradientBoostingRegressor(
+        n_estimators=5, max_depth=2, random_state=1).fit(
+        x_sca, 7.0 + x_sca[:, :50].mean(1) / 10.0)
+    scastd = LinearRegression().fit(x_std, 0.03 * x_std[:, 0] + 0.4)
+
+    pkl = tmp_path / 'natom_models.pkl'
+    pkl.write_bytes(pickle.dumps({
+        'arm_model': arm, 'armstd_model': armstd,
+        'sca_model': sca, 'scastd_model': scastd}))
+    sampler = NumAtomsSampler.from_pickle(str(pkl))
+
+    rng = np.random.default_rng(7)
+    recs = build_generation_records(raw, 2, 'beta_prior', 'stat', rng,
+                                    natoms_sampler=sampler)
+    assert len(recs) == 2
+    for r in recs:
+        counts = np.asarray(r['prior_num_atoms'])
+        assert (counts >= 2).all()          # min_natoms clamp (ref :206-208)
+        assert len(r['ligand_pos']) == counts.sum()
+        stds = np.asarray(r['prior_stds'])
+        assert stds.shape[-1] == 3 and np.isfinite(stds).all()
+        # each part's std is the regressor's prediction for its atom count,
+        # tiled across xyz (ref :177-178,:203-204)
+        np.testing.assert_allclose(
+            stds[:raw['num_arms']],
+            armstd.predict(counts[:raw['num_arms'], None]).astype(
+                np.float32)[:, None].repeat(3, 1), rtol=1e-6)
+        np.testing.assert_allclose(
+            stds[-1], np.float32(scastd.predict([[counts[-1]]])[0]),
+            rtol=1e-6)
+
+
+def test_stat_mode_min_natoms_clamp():
+    """Predictions below 2 clamp to min_natoms=2 (ref utils/prior.py:206-208)."""
+    from decompdiff_tpu.priors.atom_num import NumAtomsSampler
+    out = NumAtomsSampler._sample_from_prediction(
+        np.array([-5.0, 0.4, 11.2]), std=0.0,
+        rng=np.random.default_rng(0))
+    assert out.tolist() == [2, 2, 12]
