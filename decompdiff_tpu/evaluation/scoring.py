@@ -165,6 +165,49 @@ def get_chem(mol) -> dict:
     }
 
 
+def get_rdkit_rmsd(mol, n_conf: int = 20, random_seed: int = 42):
+    """[max, min, median] RMSD between the generated geometry and `n_conf`
+    re-embedded, force-field-relaxed conformers of the same bond graph
+    (ref utils/evaluation/scoring_func.py:49-69 — a geometry-plausibility
+    metric). RDKit mols use the reference recipe (EmbedMultipleConfs + UFF +
+    GetBestRMS); MolRecords use the first-party DG + ffmin + Kabsch path.
+    Returns [nan, nan, nan] on failure, like the reference."""
+    nanout = [float('nan')] * 3
+    if can_score(mol):
+        from copy import deepcopy
+        from rdkit.Chem import AllChem, rdMolAlign
+        mol = deepcopy(mol)
+        try:
+            Chem.SanitizeMol(mol)
+            mol3d = Chem.AddHs(mol)
+            conf_ids = AllChem.EmbedMultipleConfs(mol3d, n_conf,
+                                                  randomSeed=random_seed)
+            rmsds = []
+            for cid in conf_ids:
+                AllChem.UFFOptimizeMolecule(mol3d, confId=cid)
+                rmsds.append(rdMolAlign.GetBestRMS(mol, mol3d, refId=cid))
+            rmsds = np.asarray(rmsds)
+            return [float(rmsds.max()), float(rmsds.min()),
+                    float(np.median(rmsds))]
+        except Exception:
+            return nanout
+    if not hasattr(mol, 'bond_index'):
+        return nanout
+    from decompdiff_tpu.utils.chem import _kabsch_rmsd
+    from decompdiff_tpu.utils.confgen import (
+        generate_conformers, record_bonds)
+    try:
+        bonds = record_bonds(mol)
+        confs = generate_conformers(mol.element, bonds, n_confs=n_conf,
+                                    seed=random_seed)
+        rmsds = np.asarray([_kabsch_rmsd(mol.pos, pos)
+                            for pos, _ in confs])
+        return [float(rmsds.max()), float(rmsds.min()),
+                float(np.median(rmsds))]
+    except Exception:
+        return nanout
+
+
 def tanimoto_sim(mol, ref) -> float:
     """RDKFingerprint Tanimoto (ref utils/evaluation/similarity.py:9-24)."""
     _require_rdkit()

@@ -46,8 +46,17 @@ def get_num_rotatable_bonds(mol) -> int:
 
 
 def compute_3d_coors(mol, random_seed: int = 0):
-    """Embed one conformer (ref utils/chem.py:32-40)."""
-    _require_rdkit()
+    """Embed one conformer (ref utils/chem.py:32-40). MolRecords (and any
+    input when RDKit is absent) embed via the first-party distance-geometry
+    path (utils/confgen.py)."""
+    if hasattr(mol, 'bond_index') or not HAS_RDKIT:
+        from decompdiff_tpu.utils.confgen import embed_conformer, record_bonds
+        bonds = record_bonds(mol)
+        if not bonds:
+            return 0, 0
+        pos, _ = embed_conformer(mol.element, bonds,
+                                 np.random.default_rng(random_seed))
+        return pos, 1
     mol = Chem.AddHs(mol)
     if AllChem.EmbedMolecule(mol, randomSeed=random_seed) == -1:
         return 0, 0
@@ -56,8 +65,22 @@ def compute_3d_coors(mol, random_seed: int = 0):
 
 
 def compute_3d_coors_multiple(mol, numConfs=20, maxIters=400, randomSeed=1):
-    """Multi-conformer embedding + MMFF ranking (ref utils/chem.py:43-60)."""
-    _require_rdkit()
+    """Multi-conformer embedding + MMFF ranking (ref utils/chem.py:43-60).
+
+    First-party path (MolRecords / no RDKit): returns
+    (positions_list, [(0, energy, conf_idx), ...] sorted by energy, 1) —
+    the positions list replaces the conformer-holding RDKit mol; the result
+    tuples keep the reference's (converged, energy, confId) layout."""
+    if hasattr(mol, 'bond_index') or not HAS_RDKIT:
+        from decompdiff_tpu.utils.confgen import (
+            generate_conformers, record_bonds)
+        bonds = record_bonds(mol)
+        if not bonds:
+            return None, [], 0
+        confs = generate_conformers(mol.element, bonds, n_confs=numConfs,
+                                    seed=randomSeed, max_iter=maxIters)
+        return ([pos for pos, _ in confs],
+                [(0, e, i) for i, (_, e) in enumerate(confs)], 1)
     mol = Chem.AddHs(mol, addCoords=True)
     AllChem.EmbedMultipleConfs(mol, numConfs=numConfs, numThreads=0,
                                randomSeed=randomSeed)
@@ -77,7 +100,13 @@ def compute_3d_coors_multiple(mol, numConfs=20, maxIters=400, randomSeed=1):
 
 
 def get_rmsd(ref, pred, heavy_only=True) -> float:
-    _require_rdkit()
+    """Best-alignment RMSD (ref utils/chem.py:63-68); coordinate arrays and
+    MolRecords use the Kabsch path (identity atom mapping)."""
+    if not HAS_RDKIT or hasattr(ref, 'bond_index') or isinstance(
+            ref, np.ndarray):
+        a = ref.pos if hasattr(ref, 'pos') else ref
+        b = pred.pos if hasattr(pred, 'pos') else pred
+        return _kabsch_rmsd(a, b)
     if heavy_only:
         ref = Chem.RemoveHs(ref)
         pred = Chem.RemoveHs(pred)
