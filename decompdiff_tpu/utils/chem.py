@@ -1,9 +1,12 @@
-"""Chemistry helpers (host, RDKit-gated).
+"""Chemistry helpers (host side).
 
 Role parity with ref utils/chem.py: rotatable-bond fragmentation, conformer
 generation, MMFF optimization (the engine behind the mmff_min guidance drift,
-ref utils/guidance_funcs.py:121-158), fused ring systems.
-`get_ring_systems` also works on MolRecords without RDKit.
+ref utils/guidance_funcs.py:121-158), fused ring systems. Every helper runs
+on MolRecords without RDKit via the first-party fallbacks (structural
+rotatable-bond rule, utils/confgen distance geometry, guidance/ffmin
+relaxation, cycle-basis rings, Kabsch RMSD); RDKit inputs use the reference
+recipes verbatim when RDKit is installed.
 """
 
 from __future__ import annotations
@@ -27,9 +30,85 @@ def _require_rdkit():
         raise ImportError('RDKit is required for this chemistry helper')
 
 
+def _record_rotatable_bonds(mol) -> Tuple[list, list]:
+    """(undirected bond pairs, rotatable indices into them) for a MolRecord.
+
+    Implements RDKit's RotatableBondSmarts `[!$(*#*)&!D1]-&!@[!$(*#*)&!D1]`
+    (ref utils/chem.py:7) structurally: a single, non-ring bond whose two
+    endpoints each have degree >= 2 and sit in no triple bond.
+    """
+    from decompdiff_tpu.preprocess.decompose import ring_bond_flags
+    from decompdiff_tpu.reconstruct.builder import _undirected_bonds
+    bonds = _undirected_bonds(mol.bond_index, mol.bond_type)
+    pairs = list(bonds.keys())
+    in_ring = ring_bond_flags(mol.num_atoms, pairs)
+    degree = np.zeros(mol.num_atoms, np.int64)
+    in_triple = np.zeros(mol.num_atoms, bool)
+    for (a, b), order in bonds.items():
+        degree[a] += 1
+        degree[b] += 1
+        if order == 3:
+            in_triple[a] = in_triple[b] = True
+    rotatable = [i for i, (a, b) in enumerate(pairs)
+                 if bonds[(a, b)] == 1 and not in_ring[i]
+                 and degree[a] >= 2 and degree[b] >= 2
+                 and not in_triple[a] and not in_triple[b]]
+    return pairs, rotatable
+
+
+def _record_subset(mol, atoms: List[int]):
+    """Sub-MolRecord over `atoms`, bonds remapped (no dummy cut atoms)."""
+    from decompdiff_tpu.data.mol import MolRecord
+    idx = {a: i for i, a in enumerate(atoms)}
+    keep = [k for k in range(mol.bond_index.shape[1])
+            if int(mol.bond_index[0, k]) in idx
+            and int(mol.bond_index[1, k]) in idx]
+    bond_index = np.array(
+        [[idx[int(mol.bond_index[0, k])] for k in keep],
+         [idx[int(mol.bond_index[1, k])] for k in keep]],
+        np.int64).reshape(2, -1)
+    return MolRecord(
+        element=mol.element[atoms], pos=mol.pos[atoms],
+        bond_index=bond_index, bond_type=mol.bond_type[keep],
+        aromatic=mol.aromatic[atoms], name=mol.name)
+
+
 def break_rotatable_bond(mol, rotatable_bond=None):
-    """Fragment on rotatable bonds (ref utils/chem.py:12-23)."""
-    _require_rdkit()
+    """Fragment on rotatable bonds (ref utils/chem.py:12-23).
+
+    MolRecords (or no RDKit): first-party path — rotatable bonds by the
+    structural SMARTS semantics, fragments as sub-MolRecords (connected
+    components after the cuts; unlike RDKit's FragmentOnBonds no dummy
+    atoms mark the cut points). `rotatable_bond` is then a list of
+    undirected (a, b) pairs instead of RDKit bond indices.
+    """
+    if hasattr(mol, 'bond_index') or not HAS_RDKIT:
+        pairs, rot = _record_rotatable_bonds(mol)
+        if rotatable_bond is None:
+            rotatable_bond = [pairs[i] for i in rot]
+        if not rotatable_bond:
+            return [mol], []
+        cut = {(min(a, b), max(a, b)) for a, b in rotatable_bond}
+        adj = {i: set() for i in range(mol.num_atoms)}
+        for a, b in pairs:
+            if (a, b) not in cut:
+                adj[a].add(b)
+                adj[b].add(a)
+        frags, seen = [], set()
+        for start in range(mol.num_atoms):
+            if start in seen:
+                continue
+            comp, queue = [], [start]
+            seen.add(start)
+            while queue:
+                u = queue.pop()
+                comp.append(u)
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        queue.append(v)
+            frags.append(_record_subset(mol, sorted(comp)))
+        return frags, rotatable_bond
     if rotatable_bond is None:
         pairs = mol.GetSubstructMatches(RotatableBondSmarts)
         rotatable_bond = [mol.GetBondBetweenAtoms(a, b).GetIdx()
@@ -41,7 +120,10 @@ def break_rotatable_bond(mol, rotatable_bond=None):
 
 
 def get_num_rotatable_bonds(mol) -> int:
-    _require_rdkit()
+    """Rotatable-bond count (ref utils/chem.py:26-28); MolRecords use the
+    structural SMARTS semantics of `_record_rotatable_bonds`."""
+    if hasattr(mol, 'bond_index') or not HAS_RDKIT:
+        return len(_record_rotatable_bonds(mol)[1])
     return len(mol.GetSubstructMatches(RotatableBondSmarts))
 
 

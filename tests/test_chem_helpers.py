@@ -88,3 +88,52 @@ def test_ff_optimize_record_no_bonds_returns_none():
                     bond_type=np.zeros((0,), int),
                     aromatic=np.zeros(1, bool))
     assert ff_optimize(rec) == (None,)
+
+
+def test_rotatable_bonds_record_semantics():
+    # butane C0-C1-C2-C3: only the central C1-C2 bond is rotatable
+    # (terminal bonds fail the !D1 test)
+    from decompdiff_tpu.utils.chem import (
+        break_rotatable_bond, get_num_rotatable_bonds)
+    rec = _record([6] * 4, np.zeros((4, 3)),
+                  {(0, 1): 1, (1, 2): 1, (2, 3): 1})
+    assert get_num_rotatable_bonds(rec) == 1
+    frags, rot = break_rotatable_bond(rec)
+    assert rot == [(1, 2)]
+    assert sorted(f.num_atoms for f in frags) == [2, 2]
+    # the fragments keep their internal bond
+    for f in frags:
+        assert f.bond_index.shape[1] == 2 and (f.bond_type == 1).all()
+
+
+def test_rotatable_bonds_exclusions():
+    from decompdiff_tpu.utils.chem import get_num_rotatable_bonds
+    # ring bonds are never rotatable (cyclohexane -> 0)
+    ring = {(i, (i + 1) % 6): 1 for i in range(6)}
+    assert get_num_rotatable_bonds(
+        _record([6] * 6, np.zeros((6, 3)), ring)) == 0
+    # a double bond is not rotatable; neither is a single bond whose
+    # endpoint sits in a triple bond (!$(*#*)): propyne-CH2-CH3 chain
+    # C0#C1-C2-C3: the C1-C2 single bond touches the triple, C2-C3 is
+    # terminal -> 0 rotatable
+    assert get_num_rotatable_bonds(
+        _record([6] * 4, np.zeros((4, 3)),
+                {(0, 1): 3, (1, 2): 1, (2, 3): 1})) == 0
+    # chain with a double bond in the middle C0-C1=C2-C3-C4: only C2-C3
+    # is rotatable (both ends degree>=2, single, acyclic, no triples;
+    # C0-C1 and C3-C4 have terminal endpoints, C1=C2 is double)
+    assert get_num_rotatable_bonds(
+        _record([6] * 5, np.zeros((5, 3)),
+                {(0, 1): 1, (1, 2): 2, (2, 3): 1, (3, 4): 1})) == 1
+
+
+def test_break_rotatable_explicit_bonds_and_none():
+    from decompdiff_tpu.utils.chem import break_rotatable_bond
+    rec = _record([6, 6], np.zeros((2, 3)), {(0, 1): 1})
+    frags, rot = break_rotatable_bond(rec)   # terminal bond: nothing to cut
+    assert rot == [] and len(frags) == 1 and frags[0] is rec
+    # explicit cut list overrides detection
+    chain = _record([6] * 4, np.zeros((4, 3)),
+                    {(0, 1): 1, (1, 2): 1, (2, 3): 1})
+    frags, rot = break_rotatable_bond(chain, rotatable_bond=[(0, 1)])
+    assert sorted(f.num_atoms for f in frags) == [1, 3]
