@@ -24,7 +24,7 @@ path (scripts/sample.py prefers it).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 from scipy.optimize import minimize
@@ -56,6 +56,8 @@ def _equilibrium_angle(z: int, n_neighbors: int, max_order: int) -> float:
         theta = 180.0  # sp center (e.g. nitrile / alkyne carbon)
     elif max_order == 4:
         theta = 120.0  # 2-neighbor aromatic ring atom
+    elif max_order == 2:
+        theta = 120.0  # 2-neighbor sp2 center (carbonyl/vinyl/imine)
     elif z in (8, 16):
         theta = 104.5  # divalent O/S bend
     else:
@@ -73,6 +75,10 @@ def build_ff_terms(pos: np.ndarray, element: np.ndarray,
     """
     n = len(pos)
     element = np.asarray(element)
+    # normalize to (min, max) keys: the repulsion exclusion below compares
+    # against (a < b) pairs, and callers are allowed to pass either order
+    bonds = {(min(int(a), int(b)), max(int(a), int(b))): int(o)
+             for (a, b), o in bonds.items()}
     adj = {i: [] for i in range(n)}
     b_idx, b_d0 = [], []
     max_order = np.ones(n, np.int64)
@@ -170,14 +176,19 @@ def ff_energy_grad(x: np.ndarray, terms: dict):
 
 def relax_positions(pos: np.ndarray, element: np.ndarray,
                     bonds: Dict[Tuple[int, int], int],
-                    max_iter: int = 200) -> np.ndarray:
-    """Minimize the lightweight force field from `pos`; returns [n, 3]."""
+                    max_iter: int = 200, terms: Optional[dict] = None,
+                    return_energy: bool = False):
+    """Minimize the lightweight force field from `pos`; returns [n, 3]
+    (or (pos, energy-at-minimum) with return_energy). Pass precomputed
+    `terms` when relaxing many starts of the same bond graph."""
     pos = np.asarray(pos, np.float64).reshape(-1, 3)
-    terms = build_ff_terms(pos, element, bonds)
+    if terms is None:
+        terms = build_ff_terms(pos, element, bonds)
     res = minimize(ff_energy_grad, pos.reshape(-1), args=(terms,),
                    jac=True, method='L-BFGS-B',
                    options={'maxiter': max_iter})
-    return res.x.reshape(-1, 3)
+    out = res.x.reshape(-1, 3)
+    return (out, float(res.fun)) if return_energy else out
 
 
 def _is_connected(n: int, bonds) -> bool:

@@ -259,26 +259,9 @@ def bond_cut_fragments(num_atoms: int,
     cut = single & ~in_ring & np.array(
         [degree[a] >= 2 and degree[b] >= 2 for a, b in bond_pairs])
 
-    adj = {i: set() for i in range(num_atoms)}
-    for i, (a, b) in enumerate(bond_pairs):
-        if not cut[i]:
-            adj[a].add(b)
-            adj[b].add(a)
-    frags, seen = [], set()
-    for start in range(num_atoms):
-        if start in seen:
-            continue
-        comp, queue = [], [start]
-        seen.add(start)
-        while queue:
-            cur = queue.pop()
-            comp.append(cur)
-            for nb in adj[cur]:
-                if nb not in seen:
-                    seen.add(nb)
-                    queue.append(nb)
-        frags.append(sorted(comp))
-    return frags
+    from decompdiff_tpu.reconstruct.builder import _connected_fragments
+    kept = {pair: 1 for i, pair in enumerate(bond_pairs) if not cut[i]}
+    return [sorted(c) for c in _connected_fragments(num_atoms, kept)]
 
 
 def undirected_bond_pairs(bond_index: np.ndarray,

@@ -146,7 +146,13 @@ def extract_subcomplex(protein_path: str, ligand_sdf_path: str,
             from rdkit import Chem
         except ImportError:
             from decompdiff_tpu.data.mol import parse_sdf_file
-            mol = parse_sdf_file(ligand_sdf_path)
+            try:
+                mol = parse_sdf_file(ligand_sdf_path)
+            except Exception as e:
+                # keep the CLI's error taxonomy: a malformed SDF buckets
+                # as decompose_error on both parse paths
+                raise DecomposeError(
+                    f'cannot parse {ligand_sdf_path}: {e}') from e
         else:
             mol = Chem.MolFromMolFile(ligand_sdf_path)
             if mol is None:

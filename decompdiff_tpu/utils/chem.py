@@ -89,25 +89,10 @@ def break_rotatable_bond(mol, rotatable_bond=None):
         if not rotatable_bond:
             return [mol], []
         cut = {(min(a, b), max(a, b)) for a, b in rotatable_bond}
-        adj = {i: set() for i in range(mol.num_atoms)}
-        for a, b in pairs:
-            if (a, b) not in cut:
-                adj[a].add(b)
-                adj[b].add(a)
-        frags, seen = [], set()
-        for start in range(mol.num_atoms):
-            if start in seen:
-                continue
-            comp, queue = [], [start]
-            seen.add(start)
-            while queue:
-                u = queue.pop()
-                comp.append(u)
-                for v in adj[u]:
-                    if v not in seen:
-                        seen.add(v)
-                        queue.append(v)
-            frags.append(_record_subset(mol, sorted(comp)))
+        from decompdiff_tpu.reconstruct.builder import _connected_fragments
+        kept = {p: 1 for p in pairs if p not in cut}
+        frags = [_record_subset(mol, sorted(comp))
+                 for comp in _connected_fragments(mol.num_atoms, kept)]
         return frags, rotatable_bond
     if rotatable_bond is None:
         pairs = mol.GetSubstructMatches(RotatableBondSmarts)

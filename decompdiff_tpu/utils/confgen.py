@@ -25,7 +25,7 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from decompdiff_tpu.guidance.ffmin import (
-    CLASH_SCALE, VDW_RADII, build_ff_terms, ff_energy_grad, relax_positions)
+    CLASH_SCALE, VDW_RADII, build_ff_terms, relax_positions)
 
 _BOND_SLACK = 0.02   # +/-2% window on bonded / 1-3 distances
 _EIG_FLOOR = 1e-9
@@ -69,6 +69,17 @@ def distance_bounds(element: np.ndarray,
     # repulsion term uses)
     vdw = np.array([VDW_RADII.get(int(z), 1.7) for z in element])
     clash = CLASH_SCALE * (vdw[:, None] + vdw[None, :])
+
+    # disconnected bond graphs leave inf between components (no bond path
+    # for the smoothing to tighten) — cap at molecule-diameter scale so the
+    # uniform sampling below stays finite (RDKit embeds multi-fragment mols
+    # fine; generated molecules are routinely multi-fragment)
+    inf_mask = np.isinf(upper)
+    if inf_mask.any():
+        finite = upper[~inf_mask]
+        cap = max(float(finite.max()) if finite.size else 0.0,
+                  float(clash.max())) + 4.0
+        upper[inf_mask] = cap
     unset = lower == 0.0
     np.fill_diagonal(unset, False)
     lower[unset] = clash[unset]
@@ -100,9 +111,8 @@ def embed_conformer(element: np.ndarray,
     element = np.asarray(element)
     lower, upper = distance_bounds(element, bonds)
     raw = _metric_embed(lower, upper, rng)
-    pos = relax_positions(raw, element, bonds, max_iter=max_iter)
-    terms = build_ff_terms(pos, element, bonds)
-    return pos, float(ff_energy_grad(pos.reshape(-1), terms)[0])
+    return relax_positions(raw, element, bonds, max_iter=max_iter,
+                           return_energy=True)
 
 
 def generate_conformers(element: np.ndarray,
@@ -112,13 +122,20 @@ def generate_conformers(element: np.ndarray,
                         max_iter: int = 300) -> List[Tuple[np.ndarray, float]]:
     """n_confs independent DG embeddings, sorted by ffmin energy (the
     reference sorts its conformers by MMFF energy, ref utils/chem.py:55-60).
-    Raises ValueError on an empty bond graph (nothing to embed against)."""
+    Raises ValueError on an empty bond graph (nothing to embed against).
+    The bounds matrix and force-field terms are graph-only — computed once
+    and shared across all conformers."""
     if not bonds:
         raise ValueError('conformer embedding needs a bond graph')
+    element = np.asarray(element)
+    lower, upper = distance_bounds(element, bonds)
+    terms = build_ff_terms(np.zeros((len(element), 3)), element, bonds)
     out = []
     for i in range(n_confs):
         rng = np.random.default_rng(seed + i)
-        out.append(embed_conformer(element, bonds, rng, max_iter=max_iter))
+        raw = _metric_embed(lower, upper, rng)
+        out.append(relax_positions(raw, element, bonds, max_iter=max_iter,
+                                   terms=terms, return_energy=True))
     out.sort(key=lambda t: t[1])
     return out
 

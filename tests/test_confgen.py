@@ -101,3 +101,24 @@ def test_conformer_rmsd_metric():
     # failure path: no bonds -> [nan, nan, nan] (ref scoring_func.py:68-69)
     empty = _record([6], np.zeros((1, 3)), {})
     assert np.isnan(get_rdkit_rmsd(empty)).all()
+
+
+def test_embed_disconnected_record():
+    # two separate bonded fragments: inter-component upper bounds have no
+    # bond path — they must be capped, not left at inf (uniform(low, inf)
+    # raised OverflowError before the cap). Generated molecules are
+    # routinely multi-fragment.
+    bonds = {(0, 1): 1, (2, 3): 1}
+    element = np.array([6, 6, 6, 6])
+    lower, upper = distance_bounds(element, bonds)
+    assert np.isfinite(upper).all()
+    assert (lower <= upper + 1e-12).all()
+    pos, energy = embed_conformer(element, bonds, np.random.default_rng(0))
+    assert np.isfinite(pos).all() and np.isfinite(energy)
+    # both bonds near equilibrium, fragments not collapsed into a clash
+    assert abs(np.linalg.norm(pos[1] - pos[0]) - 1.52) < 5e-2
+    assert abs(np.linalg.norm(pos[3] - pos[2]) - 1.52) < 5e-2
+    rec = _record(element, pos, bonds)
+    from decompdiff_tpu.utils.chem import compute_3d_coors
+    out, flag = compute_3d_coors(rec, random_seed=0)
+    assert flag == 1 and np.isfinite(out).all()

@@ -135,3 +135,23 @@ def test_callback_masks_and_disconnected_rejection():
     d_rel = np.linalg.norm(np.diff(relaxed_like, axis=0), axis=1)
     assert np.abs(d_rel - 2 * COVALENT_RADII[6]).max() \
         < np.abs(d_orig - 2 * COVALENT_RADII[6]).max() + 1e-6
+
+
+def test_reversed_bond_keys_normalized():
+    # the public contract is an arbitrary {(a, b): order} dict: reversed
+    # keys must still be excluded from the repulsion pairs (a (1, 0) key
+    # used to leave a 2.72 A clash spring fighting the 1.52 A bond)
+    fwd = ffmin.build_ff_terms(np.zeros((2, 3)), np.array([6, 6]), {(0, 1): 1})
+    rev = ffmin.build_ff_terms(np.zeros((2, 3)), np.array([6, 6]), {(1, 0): 1})
+    assert rev['rep_idx'].shape == fwd['rep_idx'].shape == (0, 2)
+    np.testing.assert_array_equal(rev['bond_d0'], fwd['bond_d0'])
+
+
+def test_sp2_two_neighbor_center_is_trigonal():
+    # heavy-atom-only records: an aldehyde/vinyl carbon has 2 neighbors and
+    # a double bond -> 120 degrees, not the tetrahedral default
+    assert np.isclose(ffmin._equilibrium_angle(6, 2, 2),
+                      np.cos(np.deg2rad(120.0)))
+    # divalent single-bonded O still bends at 104.5
+    assert np.isclose(ffmin._equilibrium_angle(8, 2, 1),
+                      np.cos(np.deg2rad(104.5)))
