@@ -208,6 +208,68 @@ def test_strided_full_chain_matches_dense(setup):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_strided_single_jump(setup):
+    """num_steps=1 is the extreme stride: one denoiser call at t=T-1 jumping
+    straight to the clean endpoint (s=-1, zero posterior noise). Must run,
+    stay finite, and honor the bond mask."""
+    model, batch, params = setup
+    cfg = SampleConfig(num_steps=1, save_traj=False, skip_mode='strided')
+    init_pos, init_v, init_b = _init_state(model, batch)
+    out = sample_diffusion(model, cfg, params, jax.random.PRNGKey(5), batch,
+                           init_pos, init_v, init_b)
+    assert np.isfinite(np.asarray(out['pos'])).all()
+    b = np.asarray(out['bond'])
+    assert (b[~np.asarray(batch.bond_mask)] == 0).all()
+
+
+def test_strided_data_parallel_matches_unsharded(setup):
+    """Strided jumps under the 8-device dp mesh must reproduce the
+    unsharded run per complex, guidance included — the strided analog of
+    test_sampler.test_sampler_data_parallel_matches_unsharded (the skip
+    posterior tables and the jump-scaled guidance grads must be replicated
+    constants, never sharded state)."""
+    from decompdiff_tpu.data.batch import FullProtein
+    from decompdiff_tpu.parallel.mesh import make_mesh, shard_batch
+
+    assert jax.device_count() >= 8
+    cfg_m = tiny_model_config(num_diffusion_timesteps=T)
+    model = DecompDiffModel.create(cfg_m, num_classes=8)
+    rng = np.random.default_rng(17)
+    batch = random_complex_batch(rng, batch_size=8, num_protein=20,
+                                 num_ligand=6)
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    Nf = 30
+    fp = FullProtein(
+        pos=jnp.asarray(rng.normal(size=(8, Nf, 3)) * 5, jnp.float32),
+        mask=jnp.ones((8, Nf), bool))
+    cfg = SampleConfig(
+        num_steps=6, save_traj=False, skip_mode='strided',
+        energy_drift=({'type': 'armsca_prox', 'min_d': 1.2, 'max_d': 1.9},
+                      {'type': 'clash', 'sigma': 2.0, 'gamma': 4.0}))
+    init_pos, init_v, init_b = _init_state(model, batch, seed=4)
+
+    out_ref = sample_diffusion(model, cfg, params, jax.random.PRNGKey(2),
+                               batch, init_pos, init_v, init_b,
+                               full_protein=fp)
+
+    mesh = make_mesh(8)
+    sharded = shard_batch(batch, mesh)
+    sharding = jax.tree.leaves(sharded)[0].sharding
+    out_dp = sample_diffusion(
+        model, cfg, params, jax.random.PRNGKey(2), sharded,
+        jax.device_put(init_pos, sharding), jax.device_put(init_v, sharding),
+        jax.device_put(init_b, sharding),
+        full_protein=jax.tree.map(lambda x: jax.device_put(x, sharding), fp))
+
+    np.testing.assert_allclose(np.asarray(out_dp['pos']),
+                               np.asarray(out_ref['pos']),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_dp['v']),
+                                  np.asarray(out_ref['v']))
+    np.testing.assert_array_equal(np.asarray(out_dp['bond']),
+                                  np.asarray(out_ref['bond']))
+
+
 def test_strided_fewer_steps_same_endpoint_distribution(setup):
     """Few-step sampling must land in the same coordinate range as dense
     sampling (a smoke check that jumps neither explode nor collapse)."""
