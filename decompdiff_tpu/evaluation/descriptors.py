@@ -1,0 +1,499 @@
+"""First-party molecular descriptors (RDKit-free, on MolRecords).
+
+The reference's chem scoring (ref utils/evaluation/scoring_func.py:28-93:
+Lipinski rules, Crippen logP, QED, SA score; ref utils/evaluation/
+similarity.py:9-24: fingerprint Tanimoto) is entirely RDKit-typed. RDKit is
+absent from this image, so this module computes the same descriptor family
+structurally from a MolRecord's (element, bonds, aromatic) graph:
+
+  * implicit hydrogens from default-valence bookkeeping (the information
+    RDKit's sanitization derives; MolRecords carry heavy atoms only),
+  * monoisotopic molecular weight, H-bond donors/acceptors,
+  * Ertl TPSA from the published N/O environment contributions
+    (Ertl, Rohde & Selzer, J. Med. Chem. 2000 — the same table behind
+    RDKit's CalcTPSA default),
+  * a reduced Wildman-Crippen logP over structural atom classes,
+  * a Daylight-style linear-path fingerprint + Tanimoto,
+  * Lipinski rule-of-five count, a QED-structured drug-likeness score,
+    and the complexity half of the Ertl-Schuffenhauer SA score.
+
+Exactness levels differ by descriptor and are documented per function (and
+in PARITY.md): implicit H / MW / HBD / HBA / TPSA follow published exact
+tables; logP uses a REDUCED class table (approximate magnitudes, validated
+on anchor molecules); QED keeps Bickerton's geometric-mean-of-desirability
+structure with piecewise-linear desirability windows instead of the fitted
+ADS curves; SA omits the fragment-frequency term (its corpus,
+fpscores.pkl.gz, encodes RDKit Morgan hash ids that only RDKit can
+reproduce). When RDKit is installed, evaluation/scoring.py prefers the
+reference recipes verbatim; these are the in-image fallbacks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+Bond = Tuple[int, int]
+
+# --------------------------------------------------------------------------
+# element tables
+
+# monoisotopic masses (matches Descriptors.ExactMolWt, ref
+# scoring_func.py:31 rule_1)
+MONOISOTOPIC_MASS = {
+    1: 1.00783, 5: 11.00931, 6: 12.0, 7: 14.00307, 8: 15.99491,
+    9: 18.99840, 14: 27.97693, 15: 30.97376, 16: 31.97207, 17: 34.96885,
+    33: 74.92160, 34: 79.91652, 35: 78.91834, 53: 126.90447,
+}
+
+# allowed valences, smallest first (RDKit's default-valence model)
+DEFAULT_VALENCES = {
+    1: (1,), 5: (3,), 6: (4,), 7: (3,), 8: (2,), 9: (1,),
+    14: (4,), 15: (3, 5), 16: (2, 4, 6), 17: (1,),
+    33: (3, 5), 34: (2, 4, 6), 35: (1,), 53: (1,),
+}
+
+
+def _undirected(record) -> Dict[Bond, int]:
+    from decompdiff_tpu.reconstruct.builder import _undirected_bonds
+    return _undirected_bonds(record.bond_index, record.bond_type)
+
+
+def _adjacency(n: int, bonds: Dict[Bond, int]):
+    adj: List[List[Tuple[int, int]]] = [[] for _ in range(n)]
+    for (a, b), order in bonds.items():
+        adj[a].append((b, int(order)))
+        adj[b].append((a, int(order)))
+    return adj
+
+
+def implicit_h_counts(element: np.ndarray, bonds: Dict[Bond, int],
+                      charges: Optional[np.ndarray] = None) -> np.ndarray:
+    """Implicit hydrogens per heavy atom: (smallest allowed valence >= the
+    rounded bond-order sum) - bond-order sum, aromatic bonds counting 1.5.
+    Charge shifts the valence target by +q for N/P and +q for O/S anions
+    (N+ -> 4, O- -> 1), the common sanitization rule."""
+    element = np.asarray(element)
+    n = len(element)
+    order_sum = np.zeros(n)
+    for (a, b), order in bonds.items():
+        o = 1.5 if order == 4 else float(order)
+        order_sum[a] += o
+        order_sum[b] += o
+    out = np.zeros(n, np.int64)
+    for i in range(n):
+        s = int(round(order_sum[i]))
+        allowed = DEFAULT_VALENCES.get(int(element[i]), (s,))
+        q = int(charges[i]) if charges is not None else 0
+        target = None
+        for v in allowed:
+            if v + q >= s:
+                target = v + q
+                break
+        out[i] = 0 if target is None else target - s
+    return out
+
+
+def mol_weight(element: np.ndarray, h_counts: np.ndarray) -> float:
+    """Monoisotopic weight incl. implicit Hs (Descriptors.ExactMolWt)."""
+    w = sum(MONOISOTOPIC_MASS.get(int(z), 0.0) for z in np.asarray(element))
+    return float(w + MONOISOTOPIC_MASS[1] * float(np.sum(h_counts)))
+
+
+def num_h_donors(element, h_counts) -> int:
+    """N/O atoms carrying at least one H (Lipinski.NumHDonors semantics)."""
+    element = np.asarray(element)
+    return int(np.sum((np.isin(element, (7, 8))) & (np.asarray(h_counts) > 0)))
+
+
+def num_h_acceptors(element) -> int:
+    """N + O count — the original rule-of-five acceptor definition.
+    Documented divergence: RDKit's Lipinski.NumHAcceptors excludes a few
+    environments (pyrrole N, amide N) via SMARTS; the structural count is
+    the published rule (ref scoring_func.py:33 context)."""
+    return int(np.sum(np.isin(np.asarray(element), (7, 8))))
+
+
+# --------------------------------------------------------------------------
+# TPSA (Ertl 2000, N/O contributions — RDKit CalcTPSA default table)
+
+def tpsa(element, bonds: Dict[Bond, int], aromatic, h_counts,
+         charges: Optional[np.ndarray] = None) -> float:
+    element = np.asarray(element)
+    aromatic = np.asarray(aromatic, bool)
+    h = np.asarray(h_counts)
+    adj = _adjacency(len(element), bonds)
+    total = 0.0
+    for i in range(len(element)):
+        z = int(element[i])
+        if z not in (7, 8):
+            continue
+        orders = [o for _, o in adj[i]]
+        deg = len(orders)
+        has_double = 2 in orders
+        has_triple = 3 in orders
+        arom = bool(aromatic[i]) or 4 in orders
+        q = int(charges[i]) if charges is not None else 0
+        hi = int(h[i])
+        if z == 8:
+            if q < 0:
+                total += 23.06
+            elif arom:
+                total += 13.14
+            elif hi >= 1:
+                total += 20.23
+            elif has_double:
+                total += 17.07
+            else:
+                total += 9.23
+        else:  # N
+            if arom:
+                if q > 0:
+                    total += 14.14 if hi >= 1 else 4.10
+                elif hi >= 1:
+                    total += 15.79
+                elif deg >= 3:
+                    total += 4.93
+                else:
+                    total += 12.89
+            elif q > 0:
+                total += {3: 27.64, 2: 16.61, 1: 4.44}.get(hi, 0.0)
+            elif has_triple:
+                total += 23.79
+            elif hi == 0:
+                total += 12.36 if has_double else 3.24
+            elif hi == 1:
+                total += 23.85 if has_double else 12.03
+            else:
+                total += 26.02
+    return float(total)
+
+
+# --------------------------------------------------------------------------
+# reduced Crippen logP
+
+# Structural class contributions, REDUCED from the 68-type Wildman-Crippen
+# table (J. Chem. Inf. Comput. Sci. 1999). Anchors reproduced by this table:
+# ethanol -0.001, benzene 1.687, octane 3.37 (RDKit MolLogP -0.0014 / 1.6866
+# / 3.37). Heteroatom classes are representative values — approximate by
+# design and validated qualitatively (tests/test_descriptors.py).
+_LOGP_H_ON_C = 0.1230
+_LOGP_H_ON_HET = -0.2677
+
+
+def crippen_logp(element, bonds: Dict[Bond, int], aromatic, h_counts) -> float:
+    element = np.asarray(element)
+    aromatic = np.asarray(aromatic, bool)
+    h = np.asarray(h_counts)
+    adj = _adjacency(len(element), bonds)
+    total = 0.0
+    for i in range(len(element)):
+        z = int(element[i])
+        nbr_elems = [int(element[j]) for j, _ in adj[i]]
+        orders = [o for _, o in adj[i]]
+        arom = bool(aromatic[i]) or 4 in orders
+        het_nbr = any(e not in (1, 6) for e in nbr_elems)
+        if z == 6:
+            if arom:
+                c = 0.1581 if h[i] > 0 else 0.1360
+            elif het_nbr:
+                c = -0.2035
+            else:
+                c = 0.1441
+            c += _LOGP_H_ON_C * int(h[i])
+        elif z == 7:
+            c = -0.3239 if arom else -0.7096
+            c += _LOGP_H_ON_HET * int(h[i])
+        elif z == 8:
+            if arom:
+                c = 0.1552
+            elif 2 in orders:
+                c = -0.1526   # carbonyl / N-oxide class
+            elif h[i] > 0:
+                c = -0.2893   # hydroxyl
+            else:
+                c = -0.0684   # ether
+            c += _LOGP_H_ON_HET * int(h[i])
+        elif z == 16:
+            c = 0.6237 if arom else 0.6482
+            c += _LOGP_H_ON_HET * int(h[i])
+        elif z == 9:
+            c = 0.4202
+        elif z == 17:
+            c = 0.6895
+        elif z == 35:
+            c = 0.8456
+        elif z == 53:
+            c = 0.8857
+        elif z == 15:
+            c = 0.8612
+        else:
+            c = 0.0
+        total += c
+    return float(total)
+
+
+# --------------------------------------------------------------------------
+# rings / rotatable bonds / aromatic rings
+
+def _rings(record) -> List[Tuple[int, ...]]:
+    from decompdiff_tpu.reconstruct.ligan import find_rings
+    bonds = _undirected(record)
+    return find_rings(record.num_atoms, {b: 1 for b in bonds}, max_size=24)
+
+
+def num_aromatic_rings(record) -> int:
+    aromatic = np.asarray(record.aromatic, bool)
+    return sum(1 for ring in _rings(record)
+               if all(aromatic[a] for a in ring))
+
+
+def num_rings(record) -> int:
+    """Ring count (CalcNumRings parity for similarity.batched_number_of_rings,
+    ref utils/evaluation/similarity.py:20-24)."""
+    return len(_rings(record))
+
+
+# --------------------------------------------------------------------------
+# linear-path fingerprint + Tanimoto
+
+def _atom_label(z: int, arom: bool) -> str:
+    return f'{z}a' if arom else f'{z}'
+
+
+def path_fingerprint(record, n_bits: int = 2048, max_path: int = 7,
+                     bits_per_path: int = 2) -> np.ndarray:
+    """Daylight-style fingerprint over linear bond paths of length
+    1..max_path (ref similarity.py:9-13 uses Chem.RDKFingerprint — branched
+    subgraphs, 2048 bits, 2 bits/subgraph; the first-party variant
+    enumerates simple linear paths, the dominant subgraph class for
+    drug-sized molecules). Hash values differ from RDKit's by construction;
+    Tanimoto similarities are only comparable within one fingerprint
+    flavor."""
+    element = np.asarray(record.element)
+    aromatic = np.asarray(record.aromatic, bool)
+    bonds = _undirected(record)
+    adj = _adjacency(len(element), bonds)
+    arom_flag = aromatic.copy()
+    for (a, b), order in bonds.items():
+        if order == 4:
+            arom_flag[a] = arom_flag[b] = True
+
+    paths = set()
+
+    def walk(path: List[int], orders: List[int]):
+        if len(orders) >= 1:
+            fwd = []
+            for idx, a in enumerate(path):
+                fwd.append(_atom_label(int(element[a]), bool(arom_flag[a])))
+                if idx < len(orders):
+                    fwd.append(str(orders[idx]))
+            rev = list(reversed(fwd))
+            paths.add(tuple(min(fwd, rev)))
+        if len(orders) == max_path:
+            return
+        last = path[-1]
+        for nbr, order in adj[last]:
+            if nbr in path:
+                continue
+            walk(path + [nbr], orders + [order])
+
+    for start in range(len(element)):
+        # single atoms too (RDKFingerprint minPath=1 covers lone atoms via
+        # their incident bonds; isolated atoms still deserve a bit)
+        paths.add((_atom_label(int(element[start]), bool(arom_flag[start])),))
+        walk([start], [])
+
+    fp = np.zeros(n_bits, bool)
+    for p in paths:
+        digest = hashlib.md5('|'.join(p).encode()).digest()
+        val = int.from_bytes(digest[:8], 'little')
+        for k in range(bits_per_path):
+            fp[(val >> (16 * k)) % n_bits] = True
+    return fp
+
+
+def tanimoto(fp_a: np.ndarray, fp_b: np.ndarray) -> float:
+    inter = int(np.sum(fp_a & fp_b))
+    union = int(np.sum(fp_a | fp_b))
+    return inter / union if union else 0.0
+
+
+# --------------------------------------------------------------------------
+# Weisfeiler-Lehman atom environments (Morgan-style, for SA symmetry term
+# and stereocenter estimation)
+
+def wl_environments(element, bonds: Dict[Bond, int], aromatic,
+                    radius: int = 2) -> List[str]:
+    element = np.asarray(element)
+    aromatic = np.asarray(aromatic, bool)
+    adj = _adjacency(len(element), bonds)
+    labels = [f'{int(element[i])}:{int(aromatic[i])}:{len(adj[i])}'
+              for i in range(len(element))]
+    for _ in range(radius):
+        labels = [
+            hashlib.md5(
+                (labels[i] + '|' +
+                 '|'.join(sorted(f'{o}-{labels[j]}' for j, o in adj[i]))
+                 ).encode()).hexdigest()[:12]
+            for i in range(len(element))]
+    return labels
+
+
+def _estimate_stereocenters(record, h_counts) -> int:
+    """sp3 carbons whose (up to 4) substituent branches are pairwise
+    distinct at WL radius 3 — the structural stand-in for
+    FindMolChiralCenters(includeUnassigned=True) in the SA stereo penalty
+    (ref utils/evaluation/sascorer.py:70-80 via scoring.py:77)."""
+    element = np.asarray(record.element)
+    bonds = _undirected(record)
+    labels = wl_environments(element, bonds, record.aromatic, radius=3)
+    adj = _adjacency(len(element), bonds)
+    n = 0
+    for i in range(len(element)):
+        if int(element[i]) != 6:
+            continue
+        orders = [o for _, o in adj[i]]
+        if any(o != 1 for o in orders):
+            continue
+        subs = [labels[j] for j, _ in adj[i]]
+        hi = int(h_counts[i])
+        if len(subs) + hi != 4 or hi > 1:
+            continue
+        if len(set(subs)) == len(subs):
+            n += 1
+    return n
+
+
+# --------------------------------------------------------------------------
+# composite scores
+
+def lipinski_count(record) -> int:
+    """Satisfied rule-of-five count (ref scoring_func.py:28-38): exact-MW
+    < 500, HBD <= 5, HBA <= 10, -2 <= logP <= 5, rotatable bonds <= 10."""
+    from decompdiff_tpu.utils.chem import get_num_rotatable_bonds
+    bonds = _undirected(record)
+    h = implicit_h_counts(record.element, bonds, record.charges)
+    rules = [
+        mol_weight(record.element, h) < 500,
+        num_h_donors(record.element, h) <= 5,
+        num_h_acceptors(record.element) <= 10,
+        -2 <= crippen_logp(record.element, bonds, record.aromatic, h) <= 5,
+        get_num_rotatable_bonds(record) <= 10,
+    ]
+    return int(sum(rules))
+
+
+def _trapezoid(x: float, lo0: float, lo1: float, hi1: float,
+               hi0: float, floor: float = 0.05) -> float:
+    if lo1 <= x <= hi1:
+        d = 1.0
+    elif x <= lo0 or x >= hi0:
+        d = 0.0
+    elif x < lo1:
+        d = (x - lo0) / (lo1 - lo0)
+    else:
+        d = (hi0 - x) / (hi0 - hi1)
+    return max(d, floor)
+
+
+def qed_score(record) -> float:
+    """Drug-likeness with QED's structure — the geometric mean of
+    per-property desirabilities over MW/ALOGP/HBA/HBD/PSA/ROTB/AROM
+    (Bickerton et al., Nat. Chem. 2012; ref scoring_func.py:79 uses
+    RDKit's fitted QED.qed). Documented divergence: piecewise-linear
+    desirability windows centered on the published property optima replace
+    the fitted asymmetric-double-sigmoid curves, and the structural-alert
+    term is omitted (no SMARTS catalog). Monotone in the same directions;
+    absolute values are not comparable to RDKit's."""
+    from decompdiff_tpu.utils.chem import get_num_rotatable_bonds
+    bonds = _undirected(record)
+    h = implicit_h_counts(record.element, bonds, record.charges)
+    props = [
+        _trapezoid(mol_weight(record.element, h), 100, 240, 400, 610),
+        _trapezoid(crippen_logp(record.element, bonds, record.aromatic, h),
+                   -2.0, 0.6, 3.5, 6.2),
+        _trapezoid(num_h_acceptors(record.element), -1, 0.5, 4.5, 11),
+        _trapezoid(num_h_donors(record.element, h), -1, 0.0, 2.5, 6.5),
+        _trapezoid(tpsa(record.element, bonds, record.aromatic, h,
+                        record.charges), 0, 35, 110, 175),
+        _trapezoid(get_num_rotatable_bonds(record), -1, 0.0, 6.5, 12.5),
+        _trapezoid(num_aromatic_rings(record), -1, 0.5, 3.5, 6.5),
+    ]
+    return float(np.exp(np.mean(np.log(props))))
+
+
+def sa_score(record) -> float:
+    """Complexity half of the Ertl-Schuffenhauer SA score, normalized to
+    (0, 1] like the reference ((10 - sa) / 9, ref scoring_func.py:96-99).
+    Documented divergence: the fragment-frequency term (score1) is 0 — its
+    corpus (fpscores.pkl.gz) keys on RDKit Morgan hash ids that only RDKit
+    reproduces — so rare-fragment molecules read as more accessible than
+    RDKit's scorer says; the size/ring/stereo/symmetry penalties follow
+    the published formula (ref utils/evaluation/sascorer.py:60-106)."""
+    element = np.asarray(record.element)
+    bonds = _undirected(record)
+    h = implicit_h_counts(element, bonds, record.charges)
+    n_atoms = len(element)
+    rings = _rings(record)
+
+    spiro, bridge = set(), set()
+    ring_sets = [set(r) for r in rings]
+    adj = _adjacency(n_atoms, bonds)
+    for i in range(len(ring_sets)):
+        for j in range(i + 1, len(ring_sets)):
+            shared = ring_sets[i] & ring_sets[j]
+            if len(shared) == 1:
+                spiro |= shared
+            elif len(shared) == 2:
+                a, b = sorted(shared)
+                if (a, b) not in bonds:
+                    bridge |= shared
+            elif len(shared) > 2:
+                # shared path: its endpoints are the bridgeheads
+                for a in shared:
+                    nbrs_in = sum(1 for x, _ in adj[a] if x in shared)
+                    if nbrs_in < 2:
+                        bridge.add(a)
+    n_macro = sum(1 for r in rings if len(r) > 8)
+    n_chiral = _estimate_stereocenters(record, h)
+
+    size_penalty = n_atoms ** 1.005 - n_atoms
+    stereo_penalty = math.log10(n_chiral + 1)
+    spiro_penalty = math.log10(len(spiro) + 1)
+    bridge_penalty = math.log10(len(bridge) + 1)
+    macro_penalty = math.log10(2) if n_macro > 0 else 0.0
+    score2 = (-size_penalty - stereo_penalty - spiro_penalty
+              - bridge_penalty - macro_penalty)
+
+    envs = set(wl_environments(element, bonds, record.aromatic, radius=2))
+    score3 = 0.0
+    if n_atoms > len(envs):
+        score3 = math.log(float(n_atoms) / len(envs)) * 0.5
+
+    sascore = 0.0 + score2 + score3
+    smin, smax = -4.0, 2.5
+    sascore = 11.0 - (sascore - smin + 1) / (smax - smin) * 9.0
+    if sascore > 8.0:
+        sascore = 8.0 + math.log(sascore + 1.0 - 9.0)
+    sascore = min(max(sascore, 1.0), 10.0)
+    return round((10.0 - sascore) / 9.0, 2)
+
+
+def get_chem_record(record) -> dict:
+    """get_chem on a MolRecord (same keys as ref scoring_func.py:76-93);
+    see the per-descriptor exactness notes above."""
+    from decompdiff_tpu.evaluation.scoring import get_ring_sizes
+    bonds = _undirected(record)
+    h = implicit_h_counts(record.element, bonds, record.charges)
+    return {
+        'qed': qed_score(record),
+        'sa': sa_score(record),
+        'logp': crippen_logp(record.element, bonds, record.aromatic, h),
+        'lipinski': lipinski_count(record),
+        'ring_size': Counter(get_ring_sizes(record)),
+    }

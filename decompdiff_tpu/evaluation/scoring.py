@@ -1,10 +1,12 @@
-"""Chemistry scoring: QED, SA, logP, Lipinski, ring sizes.
+"""Chemistry scoring: QED, SA, logP, Lipinski, ring sizes, Tanimoto.
 
-Role parity with ref utils/evaluation/scoring_func.py:76-93 (get_chem) and
-sascorer.py (Ertl & Schuffenhauer fragment-contribution SA score). All
-metrics require RDKit — this module degrades to informative errors when it
-is absent (this image has no RDKit; see SURVEY.md §2.9: RDKit stays a
-host-side dependency role).
+Role parity with ref utils/evaluation/scoring_func.py:76-93 (get_chem),
+sascorer.py (Ertl & Schuffenhauer fragment-contribution SA score) and
+utils/evaluation/similarity.py:9-24 (fingerprint Tanimoto). RDKit mols use
+the reference recipes verbatim; MolRecords (and any RDKit-free host) route
+through the first-party structural descriptors in
+evaluation/descriptors.py, with per-descriptor exactness documented there
+and in PARITY.md.
 """
 
 from __future__ import annotations
@@ -37,9 +39,12 @@ def _require_rdkit():
 
 
 def can_score(mol) -> bool:
-    """Whether get_chem can evaluate this molecule on this host (RDKit
-    present and the object is an RDKit mol, not a MolRecord)."""
-    return HAS_RDKIT and not hasattr(mol, 'bond_index')
+    """Whether get_chem can evaluate this molecule on this host: RDKit
+    mols need RDKit installed; MolRecords always score via the first-party
+    descriptor stack (evaluation/descriptors.py)."""
+    if hasattr(mol, 'bond_index'):
+        return True
+    return HAS_RDKIT
 
 
 def _load_sa_fragment_scores():
@@ -114,7 +119,11 @@ def is_pains(mol) -> bool:
 
 
 def obey_lipinski(mol) -> int:
-    """Count of satisfied Lipinski rules (ref scoring_func.py:102-110)."""
+    """Count of satisfied Lipinski rules (ref scoring_func.py:102-110);
+    MolRecords use the first-party descriptor path."""
+    if hasattr(mol, 'bond_index'):
+        from decompdiff_tpu.evaluation.descriptors import lipinski_count
+        return lipinski_count(mol)
     _require_rdkit()
     mol = Chem.Mol(mol)
     Chem.SanitizeMol(mol)
@@ -148,7 +157,12 @@ def get_ring_sizes(mol) -> Counter:
 
 
 def get_chem(mol) -> dict:
-    """QED / SA / logP / Lipinski / ring sizes (ref scoring_func.py:76-93)."""
+    """QED / SA / logP / Lipinski / ring sizes (ref scoring_func.py:76-93).
+    MolRecords score via the first-party descriptors (same keys;
+    exactness levels documented in descriptors.py)."""
+    if hasattr(mol, 'bond_index'):
+        from decompdiff_tpu.evaluation.descriptors import get_chem_record
+        return get_chem_record(mol)
     _require_rdkit()
     qed_score = QED.qed(mol)
     sa_score = compute_sa_score(mol)
@@ -173,7 +187,7 @@ def get_rdkit_rmsd(mol, n_conf: int = 20, random_seed: int = 42):
     GetBestRMS); MolRecords use the first-party DG + ffmin + Kabsch path.
     Returns [nan, nan, nan] on failure, like the reference."""
     nanout = [float('nan')] * 3
-    if can_score(mol):
+    if HAS_RDKIT and not hasattr(mol, 'bond_index'):
         from copy import deepcopy
         from rdkit.Chem import AllChem, rdMolAlign
         mol = deepcopy(mol)
@@ -209,9 +223,40 @@ def get_rdkit_rmsd(mol, n_conf: int = 20, random_seed: int = 42):
 
 
 def tanimoto_sim(mol, ref) -> float:
-    """RDKFingerprint Tanimoto (ref utils/evaluation/similarity.py:9-24)."""
+    """Fingerprint Tanimoto (ref utils/evaluation/similarity.py:9-13).
+    RDKit mols use RDKFingerprint; MolRecord pairs use the first-party
+    linear-path fingerprint (similarities are only comparable within one
+    flavor — never mix a first-party value against an RDKit one)."""
+    if hasattr(mol, 'bond_index') or hasattr(ref, 'bond_index'):
+        if not (hasattr(mol, 'bond_index') and hasattr(ref, 'bond_index')):
+            raise TypeError('tanimoto_sim needs two mols of the same kind '
+                            '(both RDKit or both MolRecord)')
+        from decompdiff_tpu.evaluation.descriptors import (
+            path_fingerprint, tanimoto)
+        return tanimoto(path_fingerprint(mol), path_fingerprint(ref))
     _require_rdkit()
     from rdkit import DataStructs
     fp1 = Chem.RDKFingerprint(mol)
     fp2 = Chem.RDKFingerprint(ref)
     return DataStructs.TanimotoSimilarity(fp1, fp2)
+
+
+def tanimoto_sim_N_to_1(mols, ref) -> list:
+    """Similarity of each mol against one reference
+    (ref utils/evaluation/similarity.py:15-17)."""
+    return [tanimoto_sim(m, ref) for m in mols]
+
+
+def batched_number_of_rings(mols) -> np.ndarray:
+    """Ring counts per molecule (ref utils/evaluation/similarity.py:20-24,
+    CalcNumRings)."""
+    out = []
+    for m in mols:
+        if hasattr(m, 'bond_index'):
+            from decompdiff_tpu.evaluation.descriptors import num_rings
+            out.append(num_rings(m))
+        else:
+            _require_rdkit()
+            from rdkit.Chem import rdMolDescriptors as _rd
+            out.append(_rd.CalcNumRings(m))
+    return np.array(out)

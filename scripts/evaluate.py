@@ -95,8 +95,10 @@ def main(argv=None):
     # phase 1 — reconstruction/completeness filters + chem scoring (host,
     # cheap). Chem runs BEFORE docking so a sample whose scoring fails
     # contributes nothing (ref :76-108 single try -> continue). On an
-    # RDKit-free host chem scoring is unavailable (can_score False) and
-    # samples are kept — the geometric JSD metrics still work (degraded).
+    # RDKit-free host MolRecords score through the first-party descriptor
+    # stack (evaluation/descriptors.py; approximate logP/QED/SA levels
+    # documented there — values are self-consistent but not comparable
+    # against RDKit-scored runs).
     candidates = []
     for atom_mode, r in entries:
         n_total += 1
