@@ -1,12 +1,18 @@
-"""Notebook visualization helpers (py3Dmol / RDKit — both gated).
+"""Notebook visualization helpers (py3Dmol-compatible, RDKit 2D gated).
 
 Full surface parity with ref utils/visualize.py:18-412 (complex viewers with
 optional VDW surfaces, fragment overlays, pocket highlighting, generated-xyz
 and trajectory animation, decomp-center spheres, RDKit grid images). The repo
 variants accept this framework's native types — `MolRecord`, numpy arrays,
-sampling result dicts — in addition to RDKit mols / raw format blocks, and
-every viewer degrades to an informative ImportError when py3Dmol/RDKit are
-absent. `mol_record_to_xyz` / `atoms_to_xyz_block` work everywhere.
+sampling result dicts — in addition to RDKit mols / raw format blocks.
+
+3D viewers use real py3Dmol when installed (live notebook WebGL widgets);
+without it they run on the first-party recorder (utils/viewer3d.py) and
+return views with `.write_html(path)` / `._repr_html_()` producing
+standalone 3Dmol.js HTML. Only the RDKit 2D grid depictions
+(`draw_mol_grid`, `visualize_mol_highlight_fragments`,
+`vis_decomp_from_meta`) still require RDKit — they rasterize images.
+`mol_record_to_xyz` / `atoms_to_xyz_block` work everywhere.
 """
 
 from __future__ import annotations
@@ -57,11 +63,14 @@ def _read(path: str) -> str:
 
 
 def _require_py3dmol():
+    """Real py3Dmol when installed; the first-party standalone-HTML
+    recorder (utils/viewer3d.py) otherwise — same call surface."""
     try:
         import py3Dmol  # noqa: F401
         return py3Dmol
-    except Exception as e:
-        raise ImportError('py3Dmol is required for 3D viewers') from e
+    except Exception:
+        from decompdiff_tpu.utils import viewer3d
+        return viewer3d
 
 
 def _add_protein(view, py3Dmol, pdb_block, show_surface: bool):

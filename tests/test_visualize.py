@@ -197,7 +197,9 @@ def test_decomp_center_spheres(viz, tmp_path):
     assert colors == ['red', 'green', 'yellow']
 
 
-def test_viewers_gated_without_py3dmol(monkeypatch):
+def test_viewers_fall_back_without_py3dmol(monkeypatch, tmp_path):
+    """Without py3Dmol the viewers run on the first-party standalone-HTML
+    recorder (utils/viewer3d.py) instead of raising."""
     monkeypatch.setitem(sys.modules, 'py3Dmol', None)
     import builtins
     real_import = builtins.__import__
@@ -209,6 +211,12 @@ def test_viewers_gated_without_py3dmol(monkeypatch):
 
     monkeypatch.setattr(builtins, '__import__', block_py3dmol)
     monkeypatch.delitem(sys.modules, 'py3Dmol')
-    from decompdiff_tpu.utils import visualize
-    with pytest.raises(ImportError, match='py3Dmol'):
-        visualize.visualize_complex(PDB_BLOCK, _mol_record())
+    from decompdiff_tpu.utils import viewer3d, visualize
+    view = visualize.visualize_complex(PDB_BLOCK, _mol_record())
+    assert isinstance(view, viewer3d.View)
+    html = view._repr_html_()
+    assert '3Dmol' in html and 'ATOM      1  N   ALA' in html
+    assert '$3Dmol.SurfaceType.VDW' in html
+    out = view.write_html(str(tmp_path / 'complex.html'))
+    assert (tmp_path / 'complex.html').read_text() == html
+    assert out.endswith('complex.html')
