@@ -126,3 +126,34 @@ def high_affinity(dock_values: List[Optional[float]],
     if not vals:
         return None
     return float(np.mean([d < ref_dock for d in vals]))
+
+
+def pocket_diversity(mols) -> Optional[float]:
+    """1 - mean pairwise fingerprint Tanimoto among one pocket's molecules
+    (the paper's Diversity metric, reported in the reference README tables
+    but shipped without code; BASELINE.md Diversity 0.68). Fingerprints are
+    computed once per molecule: first-party path fingerprints for
+    MolRecords, RDKFingerprint for RDKit mols (never mixed — the flavors'
+    similarities are not comparable)."""
+    mols = list(mols)
+    if len(mols) < 2:
+        return None
+    if all(hasattr(m, 'bond_index') for m in mols):
+        from decompdiff_tpu.evaluation.descriptors import (
+            path_fingerprint, tanimoto)
+        fps = [path_fingerprint(m) for m in mols]
+        sims = [tanimoto(fps[i], fps[j])
+                for i in range(len(fps)) for j in range(i + 1, len(fps))]
+    else:
+        from rdkit import Chem, DataStructs
+        fps = [Chem.RDKFingerprint(m) for m in mols]
+        sims = [DataStructs.TanimotoSimilarity(fps[i], fps[j])
+                for i in range(len(fps)) for j in range(i + 1, len(fps))]
+    return float(1.0 - np.mean(sims))
+
+
+def diversity(mols_by_pocket: Dict[str, list]) -> Optional[float]:
+    """Mean pocket_diversity over pockets with >= 2 scored molecules."""
+    vals = [pocket_diversity(ms) for ms in mols_by_pocket.values()]
+    vals = [v for v in vals if v is not None]
+    return float(np.mean(vals)) if vals else None

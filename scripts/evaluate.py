@@ -81,6 +81,7 @@ def main(argv=None):
     ring_sizes = Counter()
     # aligned per reconstructed sample (for Success Rate / High Affinity)
     chem_list, dock_list, vina_rows, ha_flags = [], [], [], []
+    mols_by_pocket = {}
 
     entries = []
     for rf in result_files:
@@ -168,6 +169,8 @@ def main(argv=None):
 
         chem_list.append(chem)
         dock_list.append(dock_val)
+        mols_by_pocket.setdefault(r.get('ligand_filename', ''),
+                                  []).append(mol)
         if vina_results is not None:
             vina_rows.append(vina_results)
 
@@ -222,6 +225,17 @@ def main(argv=None):
     if sr is not None:
         logger.info(f'success rate (QED>0.25, SA>0.59, Dock<-8.18): {sr:.1%}')
 
+    # Diversity (paper Table 1; the reference ships no code for it): mean
+    # over pockets of 1 - mean pairwise fingerprint Tanimoto
+    try:
+        div = protocol.diversity(mols_by_pocket)
+    except Exception as e:
+        logger.info(f'diversity skipped: {e}')
+        div = None
+    if div is not None:
+        logger.info(f'diversity (1 - mean pairwise sim, per pocket): '
+                    f'{div:.4f}')
+
     summary = {
         'n_total': n_total, 'n_recon': n_recon, 'n_complete': n_complete,
         'n_dock_success': n_dock_success,
@@ -232,6 +246,7 @@ def main(argv=None):
         'vina_metrics': vina_metrics,
         'high_affinity': high_affinity,
         'success_rate': sr,
+        'diversity': div,
     }
     out = args.result_path or os.path.join(args.outdir, 'eval_summary.pkl')
     with open(out, 'wb') as f:

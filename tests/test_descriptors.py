@@ -192,3 +192,18 @@ def test_get_chem_routes_molrecord(mols):
     assert chem['lipinski'] == 5
     assert chem['ring_size'][6] == 1
     assert scoring.obey_lipinski(mols['aspirin']) == 5
+
+
+def test_diversity_metric(mols):
+    from decompdiff_tpu.evaluation import protocol
+    assert protocol.pocket_diversity([mols['octane']]) is None
+    same = protocol.pocket_diversity([mols['octane'], mols['octane']])
+    assert same == pytest.approx(0.0)
+    mixed = protocol.pocket_diversity(
+        [mols['octane'], mols['benzene'], mols['ethanol']])
+    assert 0.5 < mixed <= 1.0
+    agg = protocol.diversity({
+        'a': [mols['octane'], mols['octane']],
+        'b': [mols['octane'], mols['benzene'], mols['ethanol']],
+        'c': [mols['ethanol']]})  # <2 mols: excluded from the mean
+    assert agg == pytest.approx((same + mixed) / 2)
