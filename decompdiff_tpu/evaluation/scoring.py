@@ -136,6 +136,25 @@ def obey_lipinski(mol) -> int:
     return int(sum([rule_1, rule_2, rule_3, rule_4, rule_5]))
 
 
+def get_basic(mol):
+    """(n_atoms, n_bonds, n_rings, exact mol weight)
+    (ref scoring_func.py:41-46). MolRecords use the first-party
+    descriptor stack (heavy-atom graph + implicit-H monoisotopic MW)."""
+    if hasattr(mol, 'bond_index'):
+        from decompdiff_tpu.evaluation.descriptors import (
+            _undirected, implicit_h_counts, mol_weight, num_rings)
+        bonds = _undirected(mol)
+        h = implicit_h_counts(mol.element, bonds, mol.charges)
+        return (mol.num_atoms, len(bonds), num_rings(mol),
+                mol_weight(mol.element, h))
+    _require_rdkit()
+    n_atoms = len(mol.GetAtoms())
+    n_bonds = len(mol.GetBonds())
+    n_rings = len(Chem.GetSymmSSSR(mol))
+    weight = Descriptors.ExactMolWt(mol)
+    return n_atoms, n_bonds, n_rings, weight
+
+
 def get_ring_sizes(mol) -> Counter:
     """Histogram of ring sizes (ref scoring_func.py:81-83, SSSR). Works on
     RDKit mols (SSSR) and on MolRecords via the BFS smallest-ring-per-bond

@@ -207,3 +207,9 @@ def test_diversity_metric(mols):
         'b': [mols['octane'], mols['benzene'], mols['ethanol']],
         'c': [mols['ethanol']]})  # <2 mols: excluded from the mean
     assert agg == pytest.approx((same + mixed) / 2)
+
+
+def test_get_basic(mols):
+    n_atoms, n_bonds, n_rings, weight = scoring.get_basic(mols['aspirin'])
+    assert (n_atoms, n_bonds, n_rings) == (13, 13, 1)
+    assert weight == pytest.approx(180.0423, abs=1e-3)
