@@ -79,6 +79,7 @@ def main(argv=None):
     all_bond_lengths, all_pair_lengths = [], []
     atom_counter = Counter()
     ring_sizes = Counter()
+    per_mol_rings = []
     # aligned per reconstructed sample (for Success Rate / High Affinity)
     chem_list, dock_list, vina_rows, ha_flags = [], [], [], []
     mols_by_pocket = {}
@@ -180,7 +181,9 @@ def main(argv=None):
                                                     elements)
         all_bond_lengths += bond_distances_from_mol(mol)
         try:
-            ring_sizes.update(get_ring_sizes(mol))
+            mol_rings = get_ring_sizes(mol)
+            ring_sizes.update(mol_rings)
+            per_mol_rings.append(mol_rings)
         except Exception:
             pass
 
@@ -201,6 +204,15 @@ def main(argv=None):
     atom_jsd = eval_atom_type_distribution(atom_counter)
     logger.info(f'atom-type JSD: {atom_jsd:.4f}')
     logger.info(f'ring sizes: {dict(sorted(ring_sizes.items()))}')
+    # per-size molecule ratio (ref evaluate_mol_from_meta_full.py:36-42
+    # print_ring_ratio: fraction of molecules containing each ring size)
+    ring_ratio = {}
+    if per_mol_rings:
+        for ring_size in range(3, 10):
+            n_mol = sum(1 for c in per_mol_rings if ring_size in c)
+            ring_ratio[ring_size] = n_mol / len(per_mol_rings)
+            logger.info(f'ring size: {ring_size} ratio: '
+                        f'{ring_ratio[ring_size]:.3f}')
 
     chem_rows = [c for c in chem_list if c is not None]
     if chem_rows:
@@ -242,6 +254,7 @@ def main(argv=None):
         'bond_jsd': bond_metrics, 'pair_jsd': pair_metrics,
         'atom_type_jsd': atom_jsd,
         'ring_sizes': dict(ring_sizes),
+        'ring_ratio': ring_ratio,
         'chem': chem_rows, 'vina': vina_rows,
         'vina_metrics': vina_metrics,
         'high_affinity': high_affinity,

@@ -213,3 +213,11 @@ def test_get_basic(mols):
     n_atoms, n_bonds, n_rings, weight = scoring.get_basic(mols['aspirin'])
     assert (n_atoms, n_bonds, n_rings) == (13, 13, 1)
     assert weight == pytest.approx(180.0423, abs=1e-3)
+
+
+def test_hybridization_from_index():
+    from decompdiff_tpu.constants import hybridization_from_index
+    h = hybridization_from_index(np.array([1, 2, 4]), 'full')
+    assert list(h) == ['SP', 'SP2', 'SP3']
+    with pytest.raises(ValueError):
+        hybridization_from_index(np.array([0]), 'basic')
