@@ -80,3 +80,34 @@ def quaternion_to_rotation_matrix(q):
         jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
                    1 - 2 * (x * x + y * y)], -1),
     ], axis=-2)
+
+
+def axis_angle_rotation_matrix(axis, angle):
+    """Rodrigues rotation matrix around unit-normalized `axis` [3]."""
+    axis = normalize_vector(axis)
+    x, y, z = axis[0], axis[1], axis[2]
+    s, c = jnp.sin(angle), jnp.cos(angle)
+    t = 1.0 - c
+    return jnp.array([
+        [t * x * x + c, t * x * y - s * z, t * x * z + s * y],
+        [t * x * y + s * z, t * y * y + c, t * y * z - s * x],
+        [t * x * z - s * y, t * y * z + s * x, t * z * z + c]])
+
+
+def set_dihedral_on_point_cloud(pos, atom_idx, value, moving_idx=None):
+    """Set the (i, j, k, l) dihedral to `value` (radians) by rotating
+    `moving_idx` (default: just atom l — pass the full l-side branch when a
+    bond graph is available) around the j-k axis. Role parity with ref
+    utils/geometry.py:33-58 SetDihedralOnPointCloud, whose body rigidly
+    rotates the ENTIRE cloud around j-k — a motion that cannot change any
+    internal dihedral; it is uncalled in the reference and implemented
+    correctly here instead. Returns a new [N, 3] array."""
+    pos = jnp.asarray(pos)
+    i, j, k, l = (int(a) for a in atom_idx)
+    if moving_idx is None:
+        moving_idx = [l]
+    moving = jnp.zeros(pos.shape[0], bool).at[jnp.asarray(moving_idx)].set(True)
+    cur = dihedral_from_four_points(pos[i], pos[j], pos[k], pos[l])
+    rot = axis_angle_rotation_matrix(pos[k] - pos[j], value - cur)
+    rotated = (pos - pos[k]) @ rot.T + pos[k]
+    return jnp.where(moving[:, None], rotated, pos)

@@ -255,3 +255,23 @@ def test_polar_ratio_pocket_front():
 
     pr2, _ = compute_polar_ratio(receptor, AlphaSpace2(), [6])
     assert pr2 == pytest.approx(0.5)  # S polar, C not (ref eval_arms.py:20-24)
+
+
+def test_set_dihedral_on_point_cloud():
+    import numpy as np
+    from decompdiff_tpu.utils.geometry import (
+        dihedral_from_four_points, set_dihedral_on_point_cloud)
+    rng = np.random.default_rng(3)
+    pos = rng.normal(size=(6, 3)) * 2.0
+    idx = (0, 1, 2, 3)
+    for target in (0.5, -2.0, 3.0):
+        out = np.asarray(set_dihedral_on_point_cloud(pos, idx, target,
+                                                     moving_idx=[3, 4]))
+        got = float(dihedral_from_four_points(out[0], out[1], out[2], out[3]))
+        assert abs(((got - target) + np.pi) % (2 * np.pi) - np.pi) < 1e-5
+        # non-moving atoms stay put; moved atoms keep their distance to k
+        np.testing.assert_allclose(out[[0, 1, 2, 5]], pos[[0, 1, 2, 5]],
+                                   atol=1e-7)
+        np.testing.assert_allclose(
+            np.linalg.norm(out[[3, 4]] - out[2], axis=-1),
+            np.linalg.norm(pos[[3, 4]] - pos[2], axis=-1), atol=1e-5)
