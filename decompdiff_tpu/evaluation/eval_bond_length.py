@@ -136,3 +136,32 @@ def eval_pair_length_profile(profile) -> Dict[str, Optional[float]]:
         metrics[f'JSD_{k}'] = (float(sci_distance.jensenshannon(gt, profile[k]))
                                if k in profile else None)
     return metrics
+
+
+def plot_distance_hist(pair_length_profile, metrics=None, save_path=None):
+    """Step-histogram comparison of the generated pair-distance profiles
+    against the CrossDocked ground-truth distributions
+    (ref eval_bond_length.py:93-113). With save_path the figure is written
+    instead of shown (the headless default here)."""
+    import matplotlib
+    if save_path is not None:
+        matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    gt_profile = REF_PAIR_DISTRIBUTIONS
+    plt.figure(figsize=(6 * len(gt_profile), 4))
+    for idx, (k, gt_distribution) in enumerate(gt_profile.items()):
+        plt.subplot(1, len(gt_profile), idx + 1)
+        x = PAIR_BINS[k]
+        plt.step(x, gt_distribution[1:])
+        plt.step(x, pair_length_profile[k][1:])
+        plt.legend(['True', 'Learned'])
+        if metrics is not None and metrics.get(f'JSD_{k}') is not None:
+            plt.title(f'{k} JS div: {metrics["JSD_" + k]:.4f}')
+        else:
+            plt.title(k)
+    if save_path is not None:
+        plt.savefig(save_path)
+    else:
+        plt.show()
+    plt.close()

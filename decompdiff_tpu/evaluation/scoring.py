@@ -241,6 +241,68 @@ def get_rdkit_rmsd(mol, n_conf: int = 20, random_seed: int = 42):
         return nanout
 
 
+class _FFMinForceField:
+    """RDKit-ForceField-shaped front over guidance/ffmin for MolRecords
+    (CalcEnergy / Minimize / positions)."""
+
+    def __init__(self, record):
+        from decompdiff_tpu.guidance.ffmin import build_ff_terms
+        from decompdiff_tpu.reconstruct.builder import _undirected_bonds
+        self._element = record.element
+        self._bonds = _undirected_bonds(record.bond_index, record.bond_type)
+        self.positions = np.asarray(record.pos, np.float64).reshape(-1, 3)
+        self._terms = build_ff_terms(self.positions, self._element,
+                                     self._bonds)
+
+    def CalcEnergy(self) -> float:
+        from decompdiff_tpu.guidance.ffmin import ff_energy_grad
+        return float(ff_energy_grad(self.positions.reshape(-1),
+                                    self._terms)[0])
+
+    def Minimize(self, maxIts: int = 200) -> int:
+        from decompdiff_tpu.guidance.ffmin import relax_positions
+        self.positions = relax_positions(self.positions, self._element,
+                                         self._bonds, max_iter=maxIts,
+                                         terms=self._terms)
+        return 0
+
+
+def get_molecule_force_field(mol, conf_id=None, force_field='mmff',
+                             **kwargs):
+    """Force field for a molecule (ref scoring_func.py:96-121: uff/mmff*).
+    MolRecords return the first-party ffmin front (same CalcEnergy /
+    Minimize call surface)."""
+    if hasattr(mol, 'bond_index'):
+        return _FFMinForceField(mol)
+    _require_rdkit()
+    from rdkit.Chem import AllChem
+    if force_field == 'uff':
+        return AllChem.UFFGetMoleculeForceField(mol, confId=conf_id,
+                                                **kwargs)
+    if force_field.startswith('mmff'):
+        AllChem.MMFFSanitizeMolecule(mol)
+        props = AllChem.MMFFGetMoleculeProperties(mol,
+                                                  mmffVariant=force_field)
+        return AllChem.MMFFGetMoleculeForceField(mol, props, confId=conf_id,
+                                                 **kwargs)
+    raise ValueError(f'Invalid force_field {force_field}')
+
+
+def get_conformer_energies(mol, force_field='mmff') -> np.ndarray:
+    """Per-conformer energies (ref scoring_func.py:124-145). A MolRecord
+    carries one conformer, so the first-party path returns a length-1
+    array of its ffmin energy."""
+    if hasattr(mol, 'bond_index'):
+        return np.asarray([_FFMinForceField(mol).CalcEnergy()], float)
+    _require_rdkit()
+    energies = []
+    for conf in mol.GetConformers():
+        ff = get_molecule_force_field(mol, conf_id=conf.GetId(),
+                                      force_field=force_field)
+        energies.append(ff.CalcEnergy())
+    return np.asarray(energies, float)
+
+
 def tanimoto_sim(mol, ref) -> float:
     """Fingerprint Tanimoto (ref utils/evaluation/similarity.py:9-13).
     RDKit mols use RDKFingerprint; MolRecord pairs use the first-party

@@ -221,3 +221,32 @@ def test_hybridization_from_index():
     assert list(h) == ['SP', 'SP2', 'SP3']
     with pytest.raises(ValueError):
         hybridization_from_index(np.array([0]), 'basic')
+
+
+def test_force_field_front(mols):
+    # stretched ethanol: Minimize should lower the ffmin energy
+    m = mols['ethanol']
+    stretched = MolRecord(
+        element=m.element, pos=np.array([[0, 0, 0], [3.0, 0, 0],
+                                         [6.0, 0, 0]], np.float32),
+        bond_index=m.bond_index, bond_type=m.bond_type, aromatic=m.aromatic)
+    ff = scoring.get_molecule_force_field(stretched)
+    e0 = ff.CalcEnergy()
+    assert ff.Minimize() == 0
+    assert ff.CalcEnergy() < e0
+    energies = scoring.get_conformer_energies(stretched)
+    assert energies.shape == (1,) and energies[0] == pytest.approx(e0)
+
+
+def test_plot_distance_hist(tmp_path, mols):
+    from decompdiff_tpu.evaluation.eval_bond_length import (
+        eval_pair_length_profile, get_pair_length_profile,
+        pair_distances_from_pos, plot_distance_hist)
+    rng = np.random.default_rng(0)
+    pairs = pair_distances_from_pos(rng.normal(size=(12, 3)) * 3,
+                                    np.full(12, 6))
+    profile = get_pair_length_profile(pairs)
+    metrics = eval_pair_length_profile(profile)
+    out = tmp_path / 'hist.png'
+    plot_distance_hist(profile, metrics=metrics, save_path=str(out))
+    assert out.exists() and out.stat().st_size > 1000
