@@ -367,6 +367,25 @@ def vis_complex_from_paths(protein_file: str, ligand_file: str, **kwargs):
     return visualize_complex(_read(protein_file), _read(ligand_file), **kwargs)
 
 
+def _data_field(data, key: str):
+    """Field access for dataset entries: mapping (this framework's
+    meta/sample dicts) or attribute object (the reference's Data)."""
+    return data[key] if isinstance(data, dict) else getattr(data, key)
+
+
+def vis_complex_from_data(data, **kwargs):
+    """Complex viewer from a dataset entry carrying `protein_file` /
+    `ligand_file` (ref utils/visualize.py:361-367)."""
+    return vis_complex_from_paths(_data_field(data, 'protein_file'),
+                                  _data_field(data, 'ligand_file'), **kwargs)
+
+
+def vis_decomp_from_data(data, **kwargs):
+    """Decomposition grid image from a dataset entry carrying `meta_file`
+    (ref utils/visualize.py:348-358; RDKit raster path)."""
+    return vis_decomp_from_meta(_data_field(data, 'meta_file'), **kwargs)
+
+
 def _add_center_spheres(viewer, arm_centers, scaffold_center):
     color_map = ['red', 'green', 'blue']
     for idx, c in enumerate(arm_centers):

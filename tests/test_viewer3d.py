@@ -82,3 +82,30 @@ def test_visualize_stack_on_fallback(monkeypatch, tmp_path):
     anim = visualize.visualize_xyz_animation(traj, np.array([6, 7, 8]))
     html = anim._repr_html_()
     assert 'addModelsAsFrames' in html and 'animate' in html
+
+
+def test_vis_complex_from_data(monkeypatch, tmp_path):
+    import sys
+    monkeypatch.setitem(sys.modules, 'py3Dmol', None)
+    import builtins
+    real_import = builtins.__import__
+
+    def block(name, *a, **k):
+        if name == 'py3Dmol':
+            raise ImportError('absent')
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, '__import__', block)
+    monkeypatch.delitem(sys.modules, 'py3Dmol')
+    from decompdiff_tpu.utils import visualize
+
+    pdb = tmp_path / 'p.pdb'
+    pdb.write_text('ATOM      1  N   ALA A   1      0.0 0.0 0.0  1.00 0.00'
+                   '           N\nEND\n')
+    sdf = tmp_path / 'l.sdf'
+    sdf.write_text('lig\n\n\n  1  0  0  0  0  0  0  0  0  0999 V2000\n'
+                   '    0.0000    0.0000    0.0000 C   0  0\nM  END\n$$$$\n')
+    view = visualize.vis_complex_from_data(
+        {'protein_file': str(pdb), 'ligand_file': str(sdf)})
+    html = view._repr_html_()
+    assert 'ALA' in html and 'V2000' in html
