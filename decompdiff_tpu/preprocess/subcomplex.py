@@ -234,3 +234,77 @@ def extract_subcomplex(protein_path: str, ligand_sdf_path: str,
         with open(meta['meta_file'], 'wb') as f:
             pickle.dump({'data': meta}, f)
     return meta
+
+
+# ---------------------------------------------------------------------------
+# raw-dataset index parsers (CLI input adapters)
+# ---------------------------------------------------------------------------
+
+KMAP = {'Ki': 1, 'Kd': 2, 'IC50': 3}  # ref preprocess_subcomplex.py:19
+
+
+def parse_pdbbind_index_file(raw_path: str, subset: str = 'refined'):
+    """PDBBind >= 2016 index -> list of pair dicts
+    (ref scripts/data_preparation/preprocess_subcomplex.py:22-53). Entries
+    carry the reference's keys (src_protein_filename/src_ligand_filename,
+    resolution, pka, pkd_type); paths are relative to the subset dir."""
+    import os
+    version = int(raw_path.rstrip('/')[-4:])
+    assert version >= 2016, 'PDBBind index layout known for >= 2016'
+    if subset == 'refined':
+        data_path = os.path.join(raw_path, 'refined-set')
+        index_path = os.path.join(data_path, 'index',
+                                  f'INDEX_refined_data.{version}')
+    elif subset == 'general':
+        data_path = os.path.join(raw_path, 'general-set-except-refined')
+        index_path = os.path.join(
+            data_path, 'index', f'INDEX_general_PL_data.{version}')
+    else:
+        raise ValueError(subset)
+    all_files = set(os.listdir(data_path))
+    all_index = []
+    with open(index_path) as f:
+        for line in f:
+            if line.startswith('#'):
+                continue
+            idx, res, _year, pka, kv = line.split('//')[0].strip().split()
+            kind = [v for k, v in KMAP.items() if k in kv]
+            assert len(kind) == 1
+            if idx in all_files:
+                all_index.append({
+                    'pdb_index': idx,
+                    'src_protein_filename':
+                        os.path.join(idx, f'{idx}_protein.pdb'),
+                    'src_ligand_filename':
+                        os.path.join(idx, f'{idx}_ligand.sdf'),
+                    'resolution': res,
+                    'pka': pka,
+                    'pkd_type': kind[0],
+                })
+    return sorted(all_index, key=lambda x: x['pdb_index'])
+
+
+def parse_crossdocked_index_file(split_fn: str):
+    """CrossDocked split file -> list of pair dicts
+    (ref preprocess_subcomplex.py:56-67). Accepts the reference's
+    torch-saved split (split_by_name.pt; needs torch) or a pickled dict of
+    the same {split: [(protein_fn, ligand_fn), ...]} structure. The
+    protein filename is truncated to its 10-char pocket stem + '.pdb',
+    exactly like the reference."""
+    import os
+    import pickle as _pickle
+    try:
+        import torch
+        split_index = torch.load(split_fn, weights_only=False)
+    except Exception:
+        with open(split_fn, 'rb') as f:
+            split_index = _pickle.load(f)
+    all_index = []
+    for v in split_index.values():
+        for protein_fn, ligand_fn in v:
+            protein_fn = os.path.join(
+                os.path.dirname(protein_fn),
+                os.path.basename(protein_fn)[:10] + '.pdb')
+            all_index.append({'src_protein_filename': protein_fn,
+                              'src_ligand_filename': ligand_fn})
+    return all_index

@@ -44,7 +44,18 @@ def process_item(item, raw_root, dest, submol_radius):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument('index', help='pickle list of {protein, ligand} pairs')
+    parser.add_argument('index', help='index input; see --index_format')
+    parser.add_argument('--index_format',
+                        choices=('pickle', 'pdbbind', 'crossdocked_split'),
+                        default='pickle',
+                        help="pickle: list of {protein, ligand} (or the "
+                             "reference's src_*_filename keys); pdbbind: "
+                             "INDEX points at the PDBBind root (ref "
+                             "preprocess_subcomplex.py:22-53); "
+                             "crossdocked_split: split_by_name.pt "
+                             "(ref :56-67)")
+    parser.add_argument('--pdbbind_subset', default='refined',
+                        choices=('refined', 'general'))
     parser.add_argument('--raw_root', required=True)
     parser.add_argument('--dest', required=True)
     parser.add_argument('--num_workers', type=int, default=16)
@@ -67,8 +78,25 @@ def main():
         for m in missing:
             print(' -', m)
 
-    with open(args.index, 'rb') as f:
-        index = pickle.load(f)
+    if args.index_format == 'pdbbind':
+        from decompdiff_tpu.preprocess.subcomplex import (
+            parse_pdbbind_index_file)
+        index = parse_pdbbind_index_file(args.index,
+                                         subset=args.pdbbind_subset)
+    elif args.index_format == 'crossdocked_split':
+        from decompdiff_tpu.preprocess.subcomplex import (
+            parse_crossdocked_index_file)
+        index = parse_crossdocked_index_file(args.index)
+    else:
+        with open(args.index, 'rb') as f:
+            index = pickle.load(f)
+    # normalize the reference's key names to the worker contract
+    index = [{'protein': it.get('protein', it.get('src_protein_filename')),
+              'ligand': it.get('ligand', it.get('src_ligand_filename')),
+              **{k: v for k, v in it.items()
+                 if k not in ('protein', 'ligand', 'src_protein_filename',
+                              'src_ligand_filename')}}
+             for it in index]
     os.makedirs(args.dest, exist_ok=True)
 
     pool = mp.Pool(args.num_workers)

@@ -125,3 +125,45 @@ def test_ligand_to_pdb_block():
     assert het[1][76:78].strip() == 'N'
     assert sum(1 for l in lines if l.startswith('CONECT')) == 2  # deduped
     assert lines[-1] == 'END'
+
+
+def test_parse_pdbbind_index_file(tmp_path):
+    from decompdiff_tpu.preprocess.subcomplex import parse_pdbbind_index_file
+    root = tmp_path / 'pdbbind_2020'
+    data = root / 'refined-set'
+    (data / 'index').mkdir(parents=True)
+    for pdb in ('1abc', '2xyz'):
+        (data / pdb).mkdir()
+    (data / 'index' / 'INDEX_refined_data.2020').write_text(
+        '# header comment\n'
+        '1abc  1.80  2012  5.32  Kd=4.8uM     // 1abc.pdf (ligand)\n'
+        '2xyz  2.10  2015  7.10  Ki=80nM      // 2xyz.pdf (ligand)\n'
+        '9zzz  1.50  2018  6.00  IC50=1uM     // not on disk\n')
+    idx = parse_pdbbind_index_file(str(root))
+    assert [e['pdb_index'] for e in idx] == ['1abc', '2xyz']
+    assert idx[0]['src_protein_filename'] == '1abc/1abc_protein.pdb'
+    assert idx[0]['src_ligand_filename'] == '1abc/1abc_ligand.sdf'
+    assert idx[0]['pkd_type'] == 2 and idx[1]['pkd_type'] == 1
+    assert idx[0]['pka'] == '5.32'
+
+
+def test_parse_crossdocked_index_file(tmp_path):
+    import pickle
+    from decompdiff_tpu.preprocess.subcomplex import (
+        parse_crossdocked_index_file)
+    split = {'train': [('POCKET/recA_rec_0_pocket10.pdb',
+                        'POCKET/recA_lig.sdf')],
+             'test': [('P2/recB_rec_1_pocket10.pdb', 'P2/recB_lig.sdf')]}
+    fn = tmp_path / 'split_by_name.pt'
+    import torch
+    torch.save(split, str(fn))
+    idx = parse_crossdocked_index_file(str(fn))
+    assert len(idx) == 2
+    # protein stem truncated to 10 chars + .pdb (ref :60-62)
+    assert idx[0]['src_protein_filename'] == 'POCKET/recA_rec_0_.pdb'
+    assert idx[0]['src_ligand_filename'] == 'POCKET/recA_lig.sdf'
+    # pickled fallback parses the same structure without torch
+    fn2 = tmp_path / 'split.pkl'
+    with open(fn2, 'wb') as f:
+        pickle.dump(split, f)
+    assert parse_crossdocked_index_file(str(fn2)) == idx
