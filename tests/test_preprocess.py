@@ -160,7 +160,7 @@ def test_parse_crossdocked_index_file(tmp_path):
     idx = parse_crossdocked_index_file(str(fn))
     assert len(idx) == 2
     # protein stem truncated to 10 chars + .pdb (ref :60-62)
-    assert idx[0]['src_protein_filename'] == 'POCKET/recA_rec_0_.pdb'
+    assert idx[0]['src_protein_filename'] == 'POCKET/recA_rec_0.pdb'
     assert idx[0]['src_ligand_filename'] == 'POCKET/recA_lig.sdf'
     # pickled fallback parses the same structure without torch
     fn2 = tmp_path / 'split.pkl'
