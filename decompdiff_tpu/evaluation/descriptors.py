@@ -19,13 +19,14 @@ structurally from a MolRecord's (element, bonds, aromatic) graph:
 
 Exactness levels differ by descriptor and are documented per function (and
 in PARITY.md): implicit H / MW / HBD / HBA / TPSA follow published exact
-tables; logP uses a REDUCED class table (approximate magnitudes, validated
-on anchor molecules); QED keeps Bickerton's geometric-mean-of-desirability
-structure with piecewise-linear desirability windows instead of the fitted
-ADS curves; SA omits the fragment-frequency term (its corpus,
-fpscores.pkl.gz, encodes RDKit Morgan hash ids that only RDKit can
-reproduce). When RDKit is installed, evaluation/scoring.py prefers the
-reference recipes verbatim; these are the in-image fallbacks.
+tables; logP is the FULL published Wildman-Crippen 68-type model
+(evaluation/crippen.py, anchor-tested); QED uses Bickerton's published
+fitted ADS desirability curves and weights_mean exactly, with the ALERTS
+term fixed at 0 (the Brenk SMARTS catalog is RDKit-internal); SA omits the
+fragment-frequency term (its corpus, fpscores.pkl.gz, encodes RDKit Morgan
+hash ids that only RDKit can reproduce). When RDKit is installed,
+evaluation/scoring.py prefers the reference recipes verbatim; these are
+the in-image fallbacks.
 """
 
 from __future__ import annotations
@@ -174,67 +175,15 @@ def tpsa(element, bonds: Dict[Bond, int], aromatic, h_counts,
 
 
 # --------------------------------------------------------------------------
-# reduced Crippen logP
+# Crippen logP — full Wildman-Crippen 68-type model (evaluation/crippen.py)
 
-# Structural class contributions, REDUCED from the 68-type Wildman-Crippen
-# table (J. Chem. Inf. Comput. Sci. 1999). Anchors reproduced by this table:
-# ethanol -0.001, benzene 1.687, octane 3.37 (RDKit MolLogP -0.0014 / 1.6866
-# / 3.37). Heteroatom classes are representative values — approximate by
-# design and validated qualitatively (tests/test_descriptors.py).
-_LOGP_H_ON_C = 0.1230
-_LOGP_H_ON_HET = -0.2677
-
-
-def crippen_logp(element, bonds: Dict[Bond, int], aromatic, h_counts) -> float:
-    element = np.asarray(element)
-    aromatic = np.asarray(aromatic, bool)
-    h = np.asarray(h_counts)
-    adj = _adjacency(len(element), bonds)
-    total = 0.0
-    for i in range(len(element)):
-        z = int(element[i])
-        nbr_elems = [int(element[j]) for j, _ in adj[i]]
-        orders = [o for _, o in adj[i]]
-        arom = bool(aromatic[i]) or 4 in orders
-        het_nbr = any(e not in (1, 6) for e in nbr_elems)
-        if z == 6:
-            if arom:
-                c = 0.1581 if h[i] > 0 else 0.1360
-            elif het_nbr:
-                c = -0.2035
-            else:
-                c = 0.1441
-            c += _LOGP_H_ON_C * int(h[i])
-        elif z == 7:
-            c = -0.3239 if arom else -0.7096
-            c += _LOGP_H_ON_HET * int(h[i])
-        elif z == 8:
-            if arom:
-                c = 0.1552
-            elif 2 in orders:
-                c = -0.1526   # carbonyl / N-oxide class
-            elif h[i] > 0:
-                c = -0.2893   # hydroxyl
-            else:
-                c = -0.0684   # ether
-            c += _LOGP_H_ON_HET * int(h[i])
-        elif z == 16:
-            c = 0.6237 if arom else 0.6482
-            c += _LOGP_H_ON_HET * int(h[i])
-        elif z == 9:
-            c = 0.4202
-        elif z == 17:
-            c = 0.6895
-        elif z == 35:
-            c = 0.8456
-        elif z == 53:
-            c = 0.8857
-        elif z == 15:
-            c = 0.8612
-        else:
-            c = 0.0
-        total += c
-    return float(total)
+def crippen_logp(element, bonds: Dict[Bond, int], aromatic, h_counts,
+                 charges: Optional[np.ndarray] = None) -> float:
+    """Crippen.MolLogP parity (ref scoring_func.py:81) via the full
+    published Wildman-Crippen atom typing; see evaluation/crippen.py and
+    tests/test_crippen.py for the exactness anchors."""
+    from decompdiff_tpu.evaluation.crippen import crippen_logp_exact
+    return crippen_logp_exact(element, bonds, aromatic, h_counts, charges)
 
 
 # --------------------------------------------------------------------------
@@ -388,43 +337,202 @@ def lipinski_count(record) -> int:
     return int(sum(rules))
 
 
-def _trapezoid(x: float, lo0: float, lo1: float, hi1: float,
-               hi0: float, floor: float = 0.05) -> float:
-    if lo1 <= x <= hi1:
-        d = 1.0
-    elif x <= lo0 or x >= hi0:
-        d = 0.0
-    elif x < lo1:
-        d = (x - lo0) / (lo1 - lo0)
-    else:
-        d = (hi0 - x) / (hi0 - hi1)
-    return max(d, floor)
+# --------------------------------------------------------------------------
+# QED (Bickerton et al., Nat. Chem. 2012) — exact fitted ADS curves
+
+# average atomic masses (QED's MW property is Descriptors.MolWt — average,
+# not monoisotopic)
+AVERAGE_MASS = {
+    1: 1.008, 5: 10.812, 6: 12.011, 7: 14.007, 8: 15.999, 9: 18.998,
+    14: 28.086, 15: 30.974, 16: 32.067, 17: 35.453, 33: 74.922,
+    34: 78.971, 35: 79.904, 53: 126.904,
+}
+
+# Asymmetric-double-sigmoid parameters (A, B, C, D, E, F, DMAX) per QED
+# property — the published fit of Bickerton et al. 2012 (supplementary
+# table; the same constants RDKit's QED.py ships as adsParameters).
+QED_ADS_PARAMS = {
+    'MW': (2.817065973, 392.5754953, 290.7489764, 2.419764353,
+           49.22325677, 65.37051707, 104.9805561),
+    'ALOGP': (3.172690585, 137.8624751, 2.534937431, 4.581497897,
+              0.822739154, 0.576295591, 131.3186604),
+    'HBA': (2.948620388, 160.4605972, 3.615294657, 4.435986202,
+            0.290141953, 1.300669958, 148.7763046),
+    'HBD': (1.618662227, 1010.051101, 0.985094388, 0.000000000001,
+            0.713820843, 0.920922555, 258.1632616),
+    'PSA': (1.876861559, 125.2232657, 62.90773554, 87.83366614,
+            12.01999824, 28.51324732, 104.5686167),
+    'ROTB': (0.010000091, 272.4121427, 2.558379970, 1.565547684,
+             1.271567166, 2.758063707, 105.4420403),
+    'AROM': (3.217788970, 957.7374108, 2.274627939, 0.000000000001,
+             1.317690384, 0.375760881, 312.3372610),
+    'ALERTS': (0.010000000, 1199.094025, -0.09002883, 0.000000000001,
+               0.185904477, 0.875193782, 417.7253140),
+}
+
+# QED.weights_mean — the default the reference's scoring uses
+# (ref scoring_func.py:79 calls rdkit qed(mol) == weights_mean)
+QED_WEIGHTS_MEAN = (0.66, 0.46, 0.05, 0.61, 0.06, 0.65, 0.48, 0.95)
+_QED_PROPS = ('MW', 'ALOGP', 'HBA', 'HBD', 'PSA', 'ROTB', 'AROM', 'ALERTS')
+
+
+def ads(x: float, params) -> float:
+    """Bickerton's asymmetric double sigmoid, normalized by its maximum."""
+    a, b, c, d, e, f, dmax = params
+    return (a + b / (1 + math.exp(-(x - c + d / 2) / e))
+            * (1 - 1 / (1 + math.exp(-(x - c - d / 2) / f)))) / dmax
+
+
+def mol_weight_avg(element, h_counts) -> float:
+    """Average molecular weight incl. implicit Hs (Descriptors.MolWt)."""
+    w = sum(AVERAGE_MASS.get(int(z), 0.0) for z in np.asarray(element))
+    return float(w + AVERAGE_MASS[1] * float(np.sum(h_counts)))
+
+
+def qed_hba(record, bonds, h) -> int:
+    """QED's own acceptor definition — the 11-pattern SMARTS set of
+    QED.py's ``Acceptors`` (NOT Lipinski's N+O count), translated
+    structurally pattern-for-pattern."""
+    element = np.asarray(record.element)
+    aromatic = np.asarray(record.aromatic, bool)
+    adj = _adjacency(len(element), bonds)
+    arom = aromatic.copy()
+    for (a, b), o in bonds.items():
+        if o == 4:
+            arom[a] = arom[b] = True
+    n = 0
+    for i in range(len(element)):
+        z, hi = int(element[i]), int(h[i])
+        q = int(record.charges[i]) if record.charges is not None else 0
+        orders = [o for _, o in adj[i]]
+        deg = len(orders)
+        if z == 8:
+            if q < 0 and deg == 1:
+                n += 1                        # [O-;X1]
+            elif arom[i] and hi == 0 and deg == 2:
+                n += 1                        # [oH0;X2]
+            elif not arom[i] and q == 0:
+                if hi == 1 and deg == 1:
+                    n += 1                    # [OH1;X2;v2]
+                elif hi == 0 and deg == 2 and all(o == 1 for o in orders):
+                    n += 1                    # [OH0;X2;v2]
+                elif hi == 0 and deg == 1 and orders == [2]:
+                    n += 1                    # [OH0;X1;v2]
+        elif z == 16:
+            if q < 0 and deg == 1:
+                n += 1                        # [S-;X1]
+            elif not arom[i] and q == 0 and hi == 0:
+                if deg == 2 and all(o == 1 for o in orders):
+                    n += 1                    # [SH0;X2;v2]
+                elif deg == 1 and orders == [2]:
+                    n += 1                    # [SH0;X1;v2]
+        elif z == 7:
+            if arom[i] and hi == 0 and deg == 2:
+                n += 1                        # [nH0;X2]
+            elif not arom[i] and hi == 0 and deg == 1 and orders == [3]:
+                n += 1                        # [NH0;X1;v3]
+            elif (not arom[i] and q == 0 and deg + hi == 3
+                    and all(o == 1 for o in orders)):
+                # [$([N;+0;X3;v3]);!$(N[C,S]=O)] — amine, not amide-like
+                amide = any(
+                    int(element[j]) in (6, 16)
+                    and any(o2 == 2 and int(element[k]) == 8
+                            for k, o2 in adj[j])
+                    for j, o in adj[i] if o == 1)
+                if not amide:
+                    n += 1
+    return n
+
+
+def qed_hbd(record, h) -> int:
+    """CalcNumHBD semantics: N with >=1 H (neutral v3 or cationic v4),
+    neutral O/S with exactly one H."""
+    element = np.asarray(record.element)
+    n = 0
+    for i in range(len(element)):
+        z, hi = int(element[i]), int(h[i])
+        q = int(record.charges[i]) if record.charges is not None else 0
+        if z == 7 and hi >= 1 and q >= 0:
+            n += 1
+        elif z in (8, 16) and hi == 1 and q == 0:
+            n += 1
+    return n
+
+
+def num_rotatable_bonds_strict(record, h) -> int:
+    """RDKit's Strict rotatable-bond pattern (what QED's ROTB uses): the
+    default non-ring single-bond rule minus CX3-halide / tert-butyl rotors
+    and amide-like bonds ([CD3](=[N,O,S])-[N,O,S])."""
+    from decompdiff_tpu.utils.chem import _record_rotatable_bonds
+    element = np.asarray(record.element)
+    bonds = _undirected(record)
+    adj = _adjacency(len(element), bonds)
+
+    def _trihalide_or_tbu(i):
+        if int(element[i]) != 6:
+            return False
+        nbr_z = [int(element[j]) for j, o in adj[i] if o == 1]
+        for hal in (9, 17, 35):
+            if nbr_z.count(hal) >= 3:
+                return True
+        n_methyl = sum(1 for j, o in adj[i]
+                       if o == 1 and int(element[j]) == 6
+                       and len(adj[j]) == 1 and int(h[j]) == 3)
+        return n_methyl >= 3
+
+    def _amide_like(a, b):
+        # a: [CD3](=[N,O,S]) carbon; b: the N/O/S single-bonded to it
+        return (int(element[a]) == 6 and len(adj[a]) == 3
+                and any(o == 2 and int(element[j]) in (7, 8, 16)
+                        for j, o in adj[a])
+                and int(element[b]) in (7, 8, 16))
+
+    pairs, rot = _record_rotatable_bonds(record)
+    count = 0
+    for idx in rot:
+        a, b = pairs[idx]
+        if _trihalide_or_tbu(a) or _trihalide_or_tbu(b):
+            continue
+        if _amide_like(a, b) or _amide_like(b, a):
+            continue
+        count += 1
+    return count
+
+
+def qed_properties(record) -> Dict[str, float]:
+    """The eight QED properties (QED.py ``properties(mol)`` parity, except
+    ALERTS — see qed_score)."""
+    bonds = _undirected(record)
+    h = implicit_h_counts(record.element, bonds, record.charges)
+    return {
+        'MW': mol_weight_avg(record.element, h),
+        'ALOGP': crippen_logp(record.element, bonds, record.aromatic, h,
+                              record.charges),
+        'HBA': qed_hba(record, bonds, h),
+        'HBD': qed_hbd(record, h),
+        'PSA': tpsa(record.element, bonds, record.aromatic, h,
+                    record.charges),
+        'ROTB': num_rotatable_bonds_strict(record, h),
+        'AROM': num_aromatic_rings(record),
+        'ALERTS': 0,
+    }
 
 
 def qed_score(record) -> float:
-    """Drug-likeness with QED's structure — the geometric mean of
-    per-property desirabilities over MW/ALOGP/HBA/HBD/PSA/ROTB/AROM
-    (Bickerton et al., Nat. Chem. 2012; ref scoring_func.py:79 uses
-    RDKit's fitted QED.qed). Documented divergence: piecewise-linear
-    desirability windows centered on the published property optima replace
-    the fitted asymmetric-double-sigmoid curves, and the structural-alert
-    term is omitted (no SMARTS catalog). Monotone in the same directions;
-    absolute values are not comparable to RDKit's."""
-    from decompdiff_tpu.utils.chem import get_num_rotatable_bonds
-    bonds = _undirected(record)
-    h = implicit_h_counts(record.element, bonds, record.charges)
-    props = [
-        _trapezoid(mol_weight(record.element, h), 100, 240, 400, 610),
-        _trapezoid(crippen_logp(record.element, bonds, record.aromatic, h),
-                   -2.0, 0.6, 3.5, 6.2),
-        _trapezoid(num_h_acceptors(record.element), -1, 0.5, 4.5, 11),
-        _trapezoid(num_h_donors(record.element, h), -1, 0.0, 2.5, 6.5),
-        _trapezoid(tpsa(record.element, bonds, record.aromatic, h,
-                        record.charges), 0, 35, 110, 175),
-        _trapezoid(get_num_rotatable_bonds(record), -1, 0.0, 6.5, 12.5),
-        _trapezoid(num_aromatic_rings(record), -1, 0.5, 3.5, 6.5),
-    ]
-    return float(np.exp(np.mean(np.log(props))))
+    """QED with the published fitted ADS desirability curves and the
+    weights_mean weighting — exact Bickerton/RDKit parity for every term
+    except ALERTS (ref scoring_func.py:79 uses rdkit ``qed(mol)``).
+
+    Documented divergence: the structural-alert count is fixed at 0 — the
+    Brenk alert SMARTS catalog lives inside RDKit (QED.StructuralAlerts)
+    and is not reproducible in-image, the same corpus class as the SA
+    fpscores table. d_ALERTS(0) is the curve's maximum, so alert-free
+    molecules score exactly; molecules carrying alerts score higher here
+    than RDKit would say (PARITY.md SS2)."""
+    props = qed_properties(record)
+    t = sum(w * math.log(ads(props[k], QED_ADS_PARAMS[k]))
+            for w, k in zip(QED_WEIGHTS_MEAN, _QED_PROPS))
+    return float(math.exp(t / sum(QED_WEIGHTS_MEAN)))
 
 
 def sa_score(record) -> float:
@@ -493,7 +601,12 @@ def get_chem_record(record) -> dict:
     return {
         'qed': qed_score(record),
         'sa': sa_score(record),
-        'logp': crippen_logp(record.element, bonds, record.aromatic, h),
+        'logp': crippen_logp(record.element, bonds, record.aromatic, h,
+                             record.charges),
         'lipinski': lipinski_count(record),
         'ring_size': Counter(get_ring_sizes(record)),
+        # provenance marker so downstream consumers cannot silently mix
+        # scales: qed/logp are published-exact here (ALERTS=0 caveat for
+        # qed), sa omits the RDKit-bound fragment term
+        'chem_backend': 'first_party',
     }

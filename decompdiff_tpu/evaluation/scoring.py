@@ -195,6 +195,7 @@ def get_chem(mol) -> dict:
         'logp': logp_score,
         'lipinski': lipinski_score,
         'ring_size': ring_size,
+        'chem_backend': 'rdkit',
     }
 
 

@@ -256,6 +256,11 @@ def main(argv=None):
         'ring_sizes': dict(ring_sizes),
         'ring_ratio': ring_ratio,
         'chem': chem_rows, 'vina': vina_rows,
+        # which stack scored the chem rows (rdkit = reference recipes;
+        # first_party = evaluation/descriptors.py — qed/logp exact,
+        # sa lacks the RDKit-bound fragment term)
+        'chem_backend': (chem_rows[0].get('chem_backend')
+                         if chem_rows else None),
         'vina_metrics': vina_metrics,
         'high_affinity': high_affinity,
         'success_rate': sr,

@@ -187,7 +187,9 @@ def test_stereocenter_estimate():
 def test_get_chem_routes_molrecord(mols):
     assert scoring.can_score(mols['aspirin'])
     chem = scoring.get_chem(mols['aspirin'])
-    assert set(chem) == {'qed', 'sa', 'logp', 'lipinski', 'ring_size'}
+    assert set(chem) == {'qed', 'sa', 'logp', 'lipinski', 'ring_size',
+                         'chem_backend'}
+    assert chem['chem_backend'] == 'first_party'
     assert np.isfinite(chem['qed']) and np.isfinite(chem['sa'])
     assert chem['lipinski'] == 5
     assert chem['ring_size'][6] == 1
