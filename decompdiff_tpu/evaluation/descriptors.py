@@ -536,13 +536,16 @@ def qed_score(record) -> float:
 
 
 def sa_score(record) -> float:
-    """Complexity half of the Ertl-Schuffenhauer SA score, normalized to
-    (0, 1] like the reference ((10 - sa) / 9, ref scoring_func.py:96-99).
-    Documented divergence: the fragment-frequency term (score1) is 0 — its
-    corpus (fpscores.pkl.gz) keys on RDKit Morgan hash ids that only RDKit
-    reproduces — so rare-fragment molecules read as more accessible than
-    RDKit's scorer says; the size/ring/stereo/symmetry penalties follow
-    the published formula (ref utils/evaluation/sascorer.py:60-106)."""
+    """Full Ertl-Schuffenhauer SA score, normalized to (0, 1] like the
+    reference ((10 - sa) / 9, ref scoring_func.py:96-99). The
+    fragment-frequency term (score1, ref utils/evaluation/sascorer.py:29-56)
+    is computed against the committed fpscores.pkl.gz corpus via the
+    first-party Morgan fingerprint (evaluation/morgan.py) whose env ids are
+    RDKit-exact (100% corpus membership on anchor molecules,
+    tests/test_morgan.py); the size/ring/stereo/symmetry penalties follow
+    the published formula (ref sascorer.py:60-106). Remaining divergence:
+    the stereocenter count is the WL-environment estimate rather than
+    RDKit's CIP perception."""
     element = np.asarray(record.element)
     bonds = _undirected(record)
     h = implicit_h_counts(element, bonds, record.charges)
@@ -578,12 +581,16 @@ def sa_score(record) -> float:
     score2 = (-size_penalty - stereo_penalty - spiro_penalty
               - bridge_penalty - macro_penalty)
 
-    envs = set(wl_environments(element, bonds, record.aromatic, radius=2))
+    # fragment-frequency term + symmetry correction from the RDKit-exact
+    # Morgan fingerprint (ref sascorer.py:44-56 and :86-90: numBits is the
+    # count of distinct radius<=2 environments)
+    from decompdiff_tpu.evaluation.morgan import fragment_score
+    score1, num_bits = fragment_score(element, bonds, h, record.charges)
     score3 = 0.0
-    if n_atoms > len(envs):
-        score3 = math.log(float(n_atoms) / len(envs)) * 0.5
+    if n_atoms > num_bits:
+        score3 = math.log(float(n_atoms) / num_bits) * 0.5
 
-    sascore = 0.0 + score2 + score3
+    sascore = score1 + score2 + score3
     smin, smax = -4.0, 2.5
     sascore = 11.0 - (sascore - smin + 1) / (smax - smin) * 9.0
     if sascore > 8.0:
