@@ -17,6 +17,13 @@ reference's unfused per-op execution; 6.97 s/mol was measured in round 1
 Run configuration mirrors the released sampling protocol: full-size model
 (hidden 128, 6 layers, 16 heads, k=32, bond diffusion + triplet stream),
 armsca_prox + clash guidance at every step (ref configs/sampling_drift.yml).
+
+The headline `value` is the BLENDED s/mol over a three-rung collator-ladder
+mix (round-5 change; VERDICT r4 item 4): ligand-rung weights are corpus
+shares from the committed CrossDocked atom-count tables, the protein rung
+pairing is a labeled assumption, and `single_bucket_sec_per_mol` preserves
+the rounds-1-4 Np=320/Nl=32 series. `vs_baseline` remains the same-shape
+measured dense/fused ratio on that single bucket.
 """
 
 import json
@@ -165,15 +172,111 @@ def main():
     elif dense:
         metric = 'sampling_sec_per_molecule_1000step_guided_dense'
     else:
-        metric = 'sampling_sec_per_molecule_1000step_guided'
-    print(json.dumps({
+        metric = 'sampling_sec_per_molecule_1000step_guided_blended'
+    record = {
         'metric': metric,
         'value': round(sec_per_mol, 4),
         'unit': 's/mol',
         # not comparable to the TPU dense baseline in fallback mode
         'vs_baseline': 0.0 if cpu_fallback else round(
             BASELINE_SEC_PER_MOL / sec_per_mol, 2),
-    }))
+    }
+    if not cpu_fallback and not dense:
+        # Blend across the collator ladder (VERDICT r4 item 4): the
+        # single Np=320/Nl=32 bucket is one rung of a real pocket set.
+        # Two more rungs are measured with shorter scans (per-step cost is
+        # scan-length-invariant) and blended by mix weight.
+        import dataclasses
+        blended, buckets = _blended_measurement(
+            jax, model, dataclasses.replace(sample_cfg, num_steps=200),
+            params, sec_per_mol)
+        record.update({
+            'value': round(blended, 4),
+            'single_bucket_sec_per_mol': round(sec_per_mol, 4),
+            # vs_baseline stays the same-shape measured dense/fused ratio
+            # on the 320/32 bucket (the only shape with a measured dense
+            # baseline; re-measure with --dense)
+            'vs_baseline': round(BASELINE_SEC_PER_MOL / sec_per_mol, 2),
+            'buckets': buckets,
+        })
+    print(json.dumps(record))
+
+
+def _bucket_mix():
+    """(Np, Nl, weight, source) rows. Ligand-rung weights are corpus shares
+    computed from the committed CrossDocked atom-count tables
+    (evaluation/assets/atom_num_config.json decile bins — data, not
+    guesswork); the protein rung paired with each ligand rung is the
+    SURVEY.md pocket range spread monotonically (assumption: pocket size
+    correlates with ligand size; no protein-size statistics exist in the
+    committed assets)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'benchmarks'))
+    from bench_mixed_buckets import ladder_waste, ligand_size_distribution
+    dist = ligand_size_distribution()
+    _, shares, overflow = ladder_waste(dist, (24, 32, 48))
+    shares[48] += overflow  # oversize ligands run in the top rung
+    protein_for = {24: 192, 32: 320, 48: 448}
+    total = sum(shares.values())
+    return [(protein_for[nl], nl, shares[nl] / total,
+             'ligand share: atom_num_config deciles; '
+             'protein rung: assumed monotone pairing')
+            for nl in (24, 32, 48)]
+
+
+def _blended_measurement(jax, model, sample_cfg, params, single_1000):
+    """Measure per-step cost on each mix bucket (200-step scans, min of 2
+    reps) and return (blended s/mol at 1000 steps, per-bucket detail). The
+    320/32 rung reuses the full 1000-step measurement for continuity with
+    rounds 1-4."""
+    import jax.numpy as jnp
+
+    from decompdiff_tpu.data.batch import FullProtein
+    from decompdiff_tpu.sampling.sampler import sample_diffusion
+    from decompdiff_tpu.utils.testing import random_complex_batch
+
+    buckets = []
+    blended = 0.0
+    for n_p, n_l, weight, source in _bucket_mix():
+        if (n_p, n_l) == (NUM_PROTEIN, NUM_LIGAND):
+            spm = single_1000
+        else:
+            rng = np.random.default_rng(n_p)
+            b = random_complex_batch(rng, batch_size=BATCH, num_protein=n_p,
+                                     num_ligand=n_l, num_groups=6)
+            fp = FullProtein(
+                pos=jnp.asarray(
+                    rng.normal(size=(BATCH, NUM_FULL_PROTEIN, 3)) * 8,
+                    jnp.float32),
+                mask=jnp.ones((BATCH, NUM_FULL_PROTEIN), bool))
+            centers, stds = b.atom_prior_centers(), b.atom_prior_stds()
+            k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+            init_pos = centers + stds * jax.random.normal(k1, centers.shape)
+            init_v = model.atom_diff.sample_terminal(
+                k2, b.ligand_v.shape).astype(jnp.int32)
+            init_b = jnp.where(
+                b.bond_mask,
+                model.bond_diff.sample_terminal(k3, b.bond_type.shape),
+                0).astype(jnp.int32)
+
+            def one(seed):
+                out = sample_diffusion(model, sample_cfg, params,
+                                       jax.random.PRNGKey(seed), b,
+                                       init_pos, init_v, init_b, fp)
+                jax.block_until_ready(out['pos'])
+
+            one(0)  # compile / executable load
+            times = []
+            for i in range(2):
+                t0 = time.perf_counter()
+                one(i + 1)
+                times.append(time.perf_counter() - t0)
+            spm = min(times) / sample_cfg.num_steps * NUM_STEPS / BATCH
+        buckets.append({'bucket': [n_p, n_l], 'weight': round(weight, 4),
+                        'sec_per_mol': round(spm, 4), 'source': source})
+        blended += weight * spm
+    return blended, buckets
 
 
 if __name__ == '__main__':
