@@ -324,10 +324,23 @@ def mol_with_atom_index(mol):
     return mol
 
 
+def _is_record(mol) -> bool:
+    return hasattr(mol, 'bond_index')
+
+
 def visualize_mol_highlight_fragments(mol, match_list, size=(400, 400),
                                       mols_per_row=4):
     """Grid image of `mol` repeated once per fragment match, each with its
-    atoms highlighted (ref utils/visualize.py:102-112)."""
+    atoms highlighted (ref utils/visualize.py:102-112). MolRecords render
+    through the first-party SVG depiction (utils/draw2d.py)."""
+    if _is_record(mol):
+        from decompdiff_tpu.utils.draw2d import mols_to_grid_svg
+        idx_set = set(range(mol.num_atoms))
+        highlights = [[i for i in match if i in idx_set]
+                      for match in match_list]
+        return mols_to_grid_svg([mol] * len(match_list),
+                                highlight_atom_lists=highlights,
+                                sub_img_size=size, mols_per_row=mols_per_row)
     from rdkit.Chem import Draw
     idx_set = {a.GetIdx() for a in mol.GetAtoms()}
     highlights = [[i for i in match if i in idx_set] for match in match_list]
@@ -336,29 +349,41 @@ def visualize_mol_highlight_fragments(mol, match_list, size=(400, 400),
                                 subImgSize=size, molsPerRow=mols_per_row)
 
 
-def draw_mol_grid(mols, mols_per_row=4, size=(200, 200)):
-    """RDKit grid image (ref utils/visualize.py MolsToGridImage uses)."""
+def draw_mol_grid(mols, mols_per_row=4, size=(200, 200), legends=None):
+    """Grid image (ref utils/visualize.py MolsToGridImage uses). RDKit mols
+    rasterize through RDKit; MolRecords through the first-party SVG grid."""
+    mols = list(mols)
+    if mols and all(_is_record(m) for m in mols):
+        from decompdiff_tpu.utils.draw2d import mols_to_grid_svg
+        return mols_to_grid_svg(mols, legends=legends,
+                                mols_per_row=mols_per_row,
+                                sub_img_size=size)
     from rdkit.Chem import Draw
     return Draw.MolsToGridImage(mols, molsPerRow=mols_per_row,
-                                subImgSize=size)
+                                subImgSize=size, legends=legends)
 
 
 # --------------------------------------------------------- decomp-aware views
 
 def vis_decomp_from_meta(meta_file: str, size=(400, 400), mols_per_row=4):
     """Grid image of the decomposition submols recorded in a preprocessing
-    meta pickle (ref utils/visualize.py:348-358)."""
-    from rdkit.Chem import Draw
+    meta pickle (ref utils/visualize.py:348-358). First-party metas carry
+    MolRecord submols and render via utils/draw2d; RDKit metas keep the
+    reference raster."""
     with open(meta_file, 'rb') as f:
         r = pickle.load(f)
-    subs = []
-    for submol in r['data']['all_submols']:
-        if submol is None:
-            continue
+    subs = [s for s in r['data']['all_submols'] if s is not None]
+    if subs and all(_is_record(s) for s in subs):
+        from decompdiff_tpu.utils.draw2d import mols_to_grid_svg
+        return mols_to_grid_svg(subs, sub_img_size=size,
+                                mols_per_row=mols_per_row)
+    from rdkit.Chem import Draw
+    clean = []
+    for submol in subs:
         submol = copy.deepcopy(submol)
         submol.RemoveAllConformers()
-        subs.append(submol)
-    return Draw.MolsToGridImage(subs, subImgSize=size,
+        clean.append(submol)
+    return Draw.MolsToGridImage(clean, subImgSize=size,
                                 molsPerRow=mols_per_row)
 
 
