@@ -106,7 +106,14 @@ def compute_sa_score(mol) -> float:
 
 
 def is_pains(mol) -> bool:
-    """PAINS_A substructure filter (ref scoring_func.py:15-25)."""
+    """PAINS_A substructure filter (ref scoring_func.py:15-25). MolRecords
+    match through the first-party SMARTS engine (`evaluation/smarts.py`):
+    a user-supplied corpus via DD_PAINS_SMARTS when present, else the
+    self-authored motif-class subset in `evaluation/alerts.py` (provenance:
+    `alerts.pains_backend()`). RDKit mols use the reference recipe."""
+    if hasattr(mol, 'bond_index'):
+        from decompdiff_tpu.evaluation.alerts import is_pains_record
+        return is_pains_record(mol)
     _require_rdkit()
     from copy import deepcopy
     from rdkit.Chem.FilterCatalog import FilterCatalog, FilterCatalogParams

@@ -1,0 +1,233 @@
+"""First-party SMILES parser + SMARTS engine + structural-alert catalog
+(evaluation/{smiles,smarts,alerts}.py — the in-image execution path for the
+reference's RDKit-catalog `is_pains`, ref utils/evaluation/scoring_func.py:
+15-25). RDKit-parity cases are asserted against committed expectations
+(and re-checked live when RDKit is installed)."""
+
+import numpy as np
+import pytest
+
+from decompdiff_tpu.evaluation.smiles import (SmilesError, mol_from_smiles)
+from decompdiff_tpu.evaluation.smarts import (
+    MolContext, SmartsError, compile_smarts, has_substruct)
+from decompdiff_tpu.evaluation import alerts as A
+from decompdiff_tpu.evaluation.scoring import is_pains
+
+
+# --------------------------------------------------------------------------
+# SMILES parser
+
+def test_smiles_benzene():
+    m = mol_from_smiles('c1ccccc1')
+    assert m.num_atoms == 6
+    assert m.aromatic.all()
+    assert (np.asarray(m.element) == 6).all()
+    assert m.bond_index.shape == (2, 12)  # directed both ways
+    assert (np.asarray(m.bond_type) == 4).all()
+
+
+def test_smiles_paracetamol_graph():
+    m = mol_from_smiles('CC(=O)Nc1ccc(O)cc1')
+    assert m.num_atoms == 11
+    assert int(m.aromatic.sum()) == 6
+    orders = sorted(np.asarray(m.bond_type).tolist())
+    assert orders.count(2) == 2   # one C=O, both directions
+    assert orders.count(4) == 12
+
+
+def test_smiles_bracket_charge_and_h():
+    m = mol_from_smiles('[NH4+]')
+    assert m.num_atoms == 1 and m.charges[0] == 1
+    assert m.props['explicit_h'][0] == 4
+    m = mol_from_smiles('[O-]C')
+    assert m.charges[0] == -1
+    m = mol_from_smiles('[Fe+2]')
+    assert m.charges[0] == 2 and m.element[0] == 26
+
+
+def test_smiles_ring_closures_and_fragments():
+    naph = mol_from_smiles('c1ccc2ccccc2c1')
+    assert naph.num_atoms == 10 and naph.bond_index.shape[1] // 2 == 11
+    pct = mol_from_smiles('C%10CC%10')
+    assert pct.bond_index.shape[1] // 2 == 3
+    salt = mol_from_smiles('[Na+].[Cl-]')
+    assert salt.num_atoms == 2 and salt.bond_index.shape[1] == 0
+
+
+def test_smiles_explicit_bond_orders():
+    m = mol_from_smiles('C#N')
+    assert np.asarray(m.bond_type)[0] == 3
+    m = mol_from_smiles('C/C=C/C')  # directional bonds -> single
+    orders = sorted(np.asarray(m.bond_type).tolist())
+    assert orders == [1, 1, 2, 2, 1, 1] or orders == [1, 1, 1, 1, 2, 2]
+
+
+def test_smiles_errors():
+    for bad in ['C(', 'C)', 'C1CC', 'Xx', '', '[Q]', '1CC']:
+        with pytest.raises(SmilesError):
+            mol_from_smiles(bad)
+
+
+# --------------------------------------------------------------------------
+# SMARTS matching (expectations mirror RDKit HasSubstructMatch)
+
+MATCH_CASES = [
+    ('c1ccccc1', 'c1ccccc1', True),
+    ('c1ccccc1', 'C1CCCCC1', False),
+    ('C1CCCCC1', '[R]', True),
+    ('CCCC', '[R]', False),
+    ('CC(=O)Nc1ccc(O)cc1', '[OX2H]', True),
+    ('CC(=O)Nc1ccc(O)cc1', 'C(=O)[NH]', True),
+    ('Oc1ccccc1O', '[OX2H]c1ccccc1[OX2H]', True),
+    ('Oc1ccccc1', '[OX2H]c1ccccc1[OX2H]', False),
+    ('CN=NC', '[#6]N=N[#6]', True),
+    ('CC=CC(C)=O', 'C=CC=O', True),
+    ('CCCC(C)=O', 'C=CC=O', False),
+    ('c1cc[nH]c1', '[nH]', True),
+    ('c1ccncc1', '[nH]', False),
+    ('[NH4+]', '[N+]', True),
+    ('CC(=O)O', '[CX3](=O)[OX2H1]', True),
+    ('CC(=O)OC', '[CX3](=O)[OX2H1]', False),
+    ('c1ccccc1', '[$(c1ccccc1)]', True),
+    ('C1CCCCC1', '[$(c1ccccc1)]', False),
+    ('c1ccc2ccccc2c1', '[R2]', True),
+    ('c1ccccc1', '[R2]', False),
+    ('Clc1ccccc1', '[Cl,Br,I]', True),
+    ('Fc1ccccc1', '[Cl,Br,I]', False),
+    ('C1CC1', '[r3]', True),
+    ('C1CCC1', '[r3]', False),
+    ('CC=O', '[CX3H1]=O', True),
+    ('CC(C)=O', '[CX3H1]=O', False),
+    ('c1ccccc1', '*@*', True),
+    ('CC', '*@*', False),
+    ('CC', '*!@*', True),
+    ('C1CC1', '*!@*', False),
+    ('O.CC', 'O.C', True),
+    ('CCO', '[!#6]', True),
+    ('CC', '[!#6]', False),
+    ('CN(C)C', '[NX3](C)(C)C', True),
+    ('CCCC', 'C~C~C', True),
+    ('CC#N', 'C#N', True),
+    ('c1ccsc1', '[#16;a]', True),
+    ('CS(C)=O', '[#16;a]', False),
+    ('CC(C)(C)C', '[CH0](C)(C)(C)C', True),
+    ('O=[N+]([O-])c1ccccc1', 'c[N+](=O)[O-]', True),
+    ('CC[N+](=O)[O-]', 'c[N+](=O)[O-]', False),
+    ('NC(=O)c1ccccc1', '[CX3](=[OX1])[NX3H2]', True),
+    ('CNC(=O)c1ccccc1', '[CX3](=[OX1])[NX3H2]', False),
+    # low-precedence and vs or: aromatic-N or (aliphatic-N and ring)
+    ('C1CCNC1', '[n,N;R]', True),
+    ('NCC', '[n,N;R]', False),
+    ('c1ccncc1', '[n,N;R]', True),
+    # valence / degree / connectivity
+    ('CS(=O)(=O)C', '[Sv6]', True),
+    ('CSC', '[Sv6]', False),
+    ('CC(C)C', '[CD3]', True),
+    ('CCCC', '[CD3]', False),
+    # negated element class
+    ('CCO', '[!C;!c]', True),
+    ('CC', '[!C;!c]', False),
+]
+
+
+@pytest.mark.parametrize('smi,sma,exp', MATCH_CASES)
+def test_smarts_match(smi, sma, exp):
+    assert has_substruct(mol_from_smiles(smi), sma) == exp
+
+
+@pytest.mark.parametrize('smi,sma,exp', MATCH_CASES)
+def test_smarts_match_rdkit_parity(smi, sma, exp):
+    rdkit = pytest.importorskip('rdkit')
+    from rdkit import Chem
+    mol = Chem.MolFromSmiles(smi)
+    patt = Chem.MolFromSmarts(sma)
+    assert mol is not None and patt is not None
+    assert mol.HasSubstructMatch(patt) == exp
+
+
+def test_smarts_find_counts():
+    m = mol_from_smiles('Oc1ccc(O)cc1')
+    # two phenol oxygens, each one embedding of [OX2H]
+    assert len(compile_smarts('[OX2H]').find(m)) == 2
+    # benzene has 12 embeddings of c1ccccc1 (6 rotations x 2 orientations)
+    assert len(compile_smarts('c1ccccc1').find(mol_from_smiles('c1ccccc1'))) == 12
+
+
+def test_smarts_default_bond_single_or_aromatic():
+    # 'CC' default bond must match aromatic cc too via lowercase query
+    assert has_substruct(mol_from_smiles('c1ccccc1'), 'cc')
+    # but not a double bond
+    assert not has_substruct(mol_from_smiles('C=C'), 'CC')
+    assert has_substruct(mol_from_smiles('C=C'), 'C~C')
+
+
+def test_smarts_context_properties():
+    ctx = MolContext(mol_from_smiles('Oc1ccc2ccccc2c1'))
+    assert ctx.ring_count.max() == 2           # fusion atoms in 2 rings
+    assert ctx.min_ring[1] == 6
+    assert ctx.h[0] == 1                       # phenol OH
+    assert ctx.degree[0] == 1
+
+
+def test_smarts_errors():
+    for bad in ['[', 'C(', 'C1', '[Zq]', '', '[C', '$(C']:
+        with pytest.raises((SmartsError, Exception)):
+            compile_smarts(bad).match(mol_from_smiles('CC'))
+
+
+# --------------------------------------------------------------------------
+# alert catalog + is_pains wiring
+
+ALERT_POS_NEG = {
+    'quinone_para': ('O=C1C=CC(=O)C=C1', 'Oc1ccc(O)cc1'),
+    'quinone_ortho': ('O=C1C(=O)C=CC=C1', 'Oc1ccccc1O'),
+    'catechol': ('Oc1ccccc1O', 'Oc1ccccc1'),
+    'hydroquinone': ('Oc1ccc(O)cc1', 'Oc1ccccc1'),
+    'azo': ('c1ccccc1N=Nc1ccccc1', 'CC=NO'),
+    'acyclic_imine': ('CC=NC', 'C1CCN=C1'),
+    'hydrazone': ('CC=NN(C)C', 'CC=NC'),
+    'rhodanine': ('O=C1CSC(=S)N1', 'O=C1CSC(=O)N1'),
+    'ene_rhodanine': ('O=C1N/C(=S)SC1=C/c1ccccc1', 'O=C1CSC(=S)N1'),
+    'thiazolidinone_ene': ('O=C1NC(=O)SC1=Cc1ccccc1', 'O=C1CSC(=O)N1'),
+    'isothiazolone': ('O=C1C=CSN1C', 'O=C1CCSN1'),
+    'michael_acceptor': ('C=CC(C)=O', 'CCC(C)=O'),
+    'nitro_arom': ('[O-][N+](=O)c1ccccc1', 'CC[N+](=O)[O-]'),
+    'nitro_arom_neutral': ('O=N(=O)c1ccccc1', 'CN(=O)=O'),
+    'thiourea': ('NC(=S)N', 'NC(=O)N'),
+    'aldehyde': ('CC=O', 'CC(C)=O'),
+    'alkyl_halide': ('CCCl', 'Clc1ccccc1'),
+    'peroxide': ('CCOOC', 'CCOC'),
+    'disulfide': ('CCSSC', 'CCSC'),
+    'mannich_phenol': ('Oc1ccccc1CN(C)C', 'Oc1ccccc1'),
+}
+
+
+@pytest.mark.parametrize('name', sorted(ALERT_POS_NEG))
+def test_alert_positive_negative(name):
+    pos, neg = ALERT_POS_NEG[name]
+    assert name in A.match_alerts(mol_from_smiles(pos), first_only=False)
+    assert name not in A.match_alerts(mol_from_smiles(neg), first_only=False)
+
+
+def test_every_shipped_alert_has_a_case():
+    assert {n for n, _ in A.FIRST_PARTY_ALERTS} == set(ALERT_POS_NEG)
+
+
+def test_is_pains_molrecord_wiring():
+    assert is_pains(mol_from_smiles('O=C1C=CC(=O)C=C1')) is True
+    assert is_pains(mol_from_smiles('CC(C)Cc1ccc(cc1)C(C)C(=O)O')) is False
+    assert A.pains_backend() == 'first_party_subset'
+
+
+def test_catalog_file_override(tmp_path, monkeypatch):
+    cat = tmp_path / 'pains.txt'
+    cat.write_text('# custom corpus\n'
+                   '"c1ccccc1","<regId=any_benzene>"\n'
+                   'C#N nitrile_alert\n')
+    loaded = A.load_catalog(str(cat))
+    assert loaded == [('any_benzene', 'c1ccccc1'), ('nitrile_alert', 'C#N')]
+    monkeypatch.setenv('DD_PAINS_SMARTS', str(cat))
+    assert A.pains_backend() == 'catalog_file'
+    assert is_pains(mol_from_smiles('c1ccccc1'))
+    assert is_pains(mol_from_smiles('CC#N'))
+    assert not is_pains(mol_from_smiles('CCO'))
