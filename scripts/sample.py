@@ -381,6 +381,15 @@ def run_pocket(args, data_id, seed, num_samples, dataset, prior_mode, scfg,
                     entry['smiles'] = Chem.MolToSmiles(mol)
                 else:
                     entry['sdf'] = mol_to_sdf_block(mol)
+                    # result rows always carry a SMILES (ref
+                    # sample_diffusion_decomp.py:432); first-party writer —
+                    # canonical per-implementation, not RDKit-byte-equal
+                    from decompdiff_tpu.evaluation.smiles import (
+                        mol_to_smiles)
+                    try:
+                        entry['smiles'] = mol_to_smiles(mol)
+                    except Exception:
+                        entry['smiles'] = None
             except MolReconsError as e:
                 entry['recon_error'] = str(e)
             results.append(entry)

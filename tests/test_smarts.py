@@ -231,3 +231,76 @@ def test_catalog_file_override(tmp_path, monkeypatch):
     assert is_pains(mol_from_smiles('c1ccccc1'))
     assert is_pains(mol_from_smiles('CC#N'))
     assert not is_pains(mol_from_smiles('CCO'))
+
+
+# --------------------------------------------------------------------------
+# SMILES writer (canonical within this implementation)
+
+from decompdiff_tpu.data.mol import MolRecord
+from decompdiff_tpu.evaluation.smiles import mol_to_smiles
+
+
+def _permute(m, perm):
+    inv = np.argsort(perm)
+    rec = MolRecord(
+        element=np.asarray(m.element)[perm],
+        pos=m.pos[perm],
+        bond_index=inv[np.asarray(m.bond_index)],
+        bond_type=np.asarray(m.bond_type).copy(),
+        aromatic=np.asarray(m.aromatic)[perm],
+        charges=(np.asarray(m.charges)[perm]
+                 if m.charges is not None else None))
+    eh = (m.props or {}).get('explicit_h')
+    if eh:
+        rec.props['explicit_h'] = {int(inv[k]): v for k, v in eh.items()}
+    return rec
+
+
+WRITER_SMILES = [
+    'c1ccccc1', 'CC(=O)Nc1ccc(O)cc1', 'O=C1C=CC(=O)C=C1', 'c1cc[nH]c1',
+    'C1CC2CCC1CC2', 'CC(C)(C)c1ccc2occ(CC(=O)Nc3ccccc3F)c2c1',
+    'OC(=O)C1CCCN1C', '[O-][N+](=O)c1ccc(Cl)cc1', 'c1ccc2ncccc2c1',
+    'CC1=CC(=O)C=CC1=O', 'S=C1NC(=O)CS1', 'C1CCC2(CC1)CCCCC2',
+    '[NH4+].[Cl-]', 'N#Cc1ccccc1',
+]
+
+
+@pytest.mark.parametrize('smi', WRITER_SMILES)
+def test_writer_roundtrip_stable(smi):
+    m = mol_from_smiles(smi)
+    can = mol_to_smiles(m)
+    m2 = mol_from_smiles(can)
+    assert m2.num_atoms == m.num_atoms
+    assert m2.bond_index.shape == m.bond_index.shape
+    assert mol_to_smiles(m2) == can
+
+
+@pytest.mark.parametrize('smi', WRITER_SMILES)
+def test_writer_canonical_under_permutation(smi):
+    rng = np.random.default_rng(hash(smi) % 2**31)
+    m = mol_from_smiles(smi)
+    can = mol_to_smiles(m)
+    for _ in range(5):
+        assert mol_to_smiles(_permute(m, rng.permutation(m.num_atoms))) == can
+
+
+def test_writer_preserves_graph_invariants():
+    # descriptor-level equality through the round trip (bond orders, H,
+    # aromaticity all preserved)
+    from decompdiff_tpu.evaluation.descriptors import get_chem_record
+    for smi in ['CC(=O)Nc1ccc(O)cc1', 'O=C1C=CC(=O)C=C1', 'OC(=O)C1CCCN1C']:
+        a = get_chem_record(mol_from_smiles(smi))
+        b = get_chem_record(mol_from_smiles(mol_to_smiles(mol_from_smiles(smi))))
+        assert a['qed'] == pytest.approx(b['qed'])
+        assert a['sa'] == pytest.approx(b['sa'])
+        assert a['logp'] == pytest.approx(b['logp'])
+
+
+@pytest.mark.parametrize('smi', WRITER_SMILES)
+def test_writer_rdkit_reads_our_output(smi):
+    rdkit = pytest.importorskip('rdkit')
+    from rdkit import Chem
+    out = mol_to_smiles(mol_from_smiles(smi))
+    mol = Chem.MolFromSmiles(out)
+    assert mol is not None
+    assert Chem.MolToSmiles(mol) == Chem.MolToSmiles(Chem.MolFromSmiles(smi))
