@@ -514,8 +514,23 @@ def qed_properties(record) -> Dict[str, float]:
                     record.charges),
         'ROTB': num_rotatable_bonds_strict(record, h),
         'AROM': num_aromatic_rings(record),
-        'ALERTS': 0,
+        'ALERTS': _qed_alert_count(record),
     }
+
+
+def _qed_alert_count(record) -> int:
+    """Structural-alert count for QED. RDKit's Brenk catalog is binary-only
+    (see qed_score docstring); when the user supplies the SMARTS corpus via
+    DD_QED_ALERTS_SMARTS (same file formats as the PAINS hook,
+    evaluation/alerts.py), count matches exactly with the first-party
+    engine; otherwise 0 (alert-free molecules score exactly either way)."""
+    import os
+    path = os.environ.get('DD_QED_ALERTS_SMARTS')
+    if not path or not os.path.isfile(path):
+        return 0
+    from decompdiff_tpu.evaluation.alerts import load_catalog, match_alerts
+    return len(match_alerts(record, catalog=load_catalog(path),
+                            first_only=False))
 
 
 def qed_score(record) -> float:
@@ -523,12 +538,14 @@ def qed_score(record) -> float:
     weights_mean weighting — exact Bickerton/RDKit parity for every term
     except ALERTS (ref scoring_func.py:79 uses rdkit ``qed(mol)``).
 
-    Documented divergence: the structural-alert count is fixed at 0 — the
+    Documented divergence: the structural-alert count defaults to 0 — the
     Brenk alert SMARTS catalog lives inside RDKit (QED.StructuralAlerts)
     and is not reproducible in-image, the same corpus class as the SA
     fpscores table. d_ALERTS(0) is the curve's maximum, so alert-free
     molecules score exactly; molecules carrying alerts score higher here
-    than RDKit would say (PARITY.md SS2)."""
+    than RDKit would say (PARITY.md SS2). Supplying the corpus via
+    DD_QED_ALERTS_SMARTS closes the gap exactly (first-party SMARTS
+    engine, _qed_alert_count)."""
     props = qed_properties(record)
     t = sum(w * math.log(ads(props[k], QED_ADS_PARAMS[k]))
             for w, k in zip(QED_WEIGHTS_MEAN, _QED_PROPS))

@@ -304,3 +304,17 @@ def test_writer_rdkit_reads_our_output(smi):
     mol = Chem.MolFromSmiles(out)
     assert mol is not None
     assert Chem.MolToSmiles(mol) == Chem.MolToSmiles(Chem.MolFromSmiles(smi))
+
+
+def test_qed_alerts_env_corpus(tmp_path, monkeypatch):
+    from decompdiff_tpu.evaluation.descriptors import (qed_properties,
+                                                       qed_score)
+    quinone = mol_from_smiles('O=C1C=CC(=O)C=C1')
+    base = qed_score(quinone)
+    cat = tmp_path / 'brenk.txt'
+    cat.write_text('O=C1C=CC(=O)C=C1 quinone\nN=[N+]=[N-] azide\n')
+    monkeypatch.setenv('DD_QED_ALERTS_SMARTS', str(cat))
+    props = qed_properties(quinone)
+    assert props['ALERTS'] == 1
+    assert qed_score(quinone) < base  # alert hit lowers desirability
+    assert qed_properties(mol_from_smiles('CCO'))['ALERTS'] == 0
