@@ -41,7 +41,7 @@ CRIPPEN_LOGP: Dict[str, float] = {
     'N5': 0.08387, 'N6': 0.1836, 'N7': -0.3187, 'N8': -0.4458,
     'N9': 0.01508, 'N10': -1.95, 'N11': -0.3239, 'N12': -1.119,
     'N13': -0.3396, 'N14': 0.2887, 'NS': -0.4806,
-    'O1': 0.1552, 'O2': -0.2893, 'O3': -0.0684, 'O4': 0.4833,
+    'O1': 0.1552, 'O2': -0.2893, 'O3': -0.0684, 'O4': -0.4195,
     'O5': 0.0335, 'O6': -0.3339, 'O7': -1.189, 'O8': 0.1788,
     'O9': -0.1526, 'O10': 0.1129, 'O11': 0.4833, 'O12': -1.326,
     'OS': -0.1188,

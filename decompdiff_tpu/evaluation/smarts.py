@@ -39,6 +39,14 @@ from decompdiff_tpu.evaluation.smiles import SYMBOL_TO_Z, ORGANIC_SUBSET
 AROMATIC_ORGANIC = ('c', 'n', 'o', 's', 'p', 'b')
 
 
+def _default_valence_table():
+    from decompdiff_tpu.evaluation.descriptors import DEFAULT_VALENCES
+    return {z: v[0] for z, v in DEFAULT_VALENCES.items()}
+
+
+_DEFAULT_VALENCE = _default_valence_table()
+
+
 class SmartsError(ValueError):
     pass
 
@@ -76,7 +84,22 @@ class MolContext:
             v = 1.5 if o == 4 else float(o)
             order_sum[a] += v
             order_sum[b] += v
-        self.valence = np.round(order_sum).astype(np.int64) + h
+        valence = np.round(order_sum).astype(np.int64) + h
+        # RDKit semantics: an aromatic atom whose 1.5-per-aromatic-bond sum
+        # (+H) exceeds its default valence (+charge) is snapped DOWN to it —
+        # the excess is an artifact of the fractional bond model, and the
+        # kekulized structure realizes the default (pyrrole [nH] is v3, not
+        # v4; furan o / thiophene s are v2; N-methylpyrrole n is v3).
+        for i in range(n):
+            if not self.aromatic[i]:
+                continue
+            dv = _DEFAULT_VALENCE.get(int(self.z[i]))
+            if dv is None:
+                continue
+            cap = dv + max(int(self.charge[i]), 0)
+            if valence[i] > cap:
+                valence[i] = cap
+        self.valence = valence
         rings = _rings(record)
         self.ring_count = np.zeros(n, np.int64)
         self.min_ring = np.zeros(n, np.int64)  # 0 = not in a ring

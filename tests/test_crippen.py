@@ -224,6 +224,27 @@ NAPH_BONDS = {(0, 1): 4, (1, 2): 4, (2, 3): 4, (3, 4): 4, (4, 5): 4,
 ANCHORS.append(('naphthalene', rec([6] * 10, NAPH_BONDS, [True] * 10),
                 2.8398))
 
+# aspirin CC(=O)Oc1ccccc1C(=O)O — the one standard anchor whose VALUE
+# exercises the aromatic-ether type O4 (-0.4195; a sign-flipped table entry
+# here once inflated every aryl ether/ester by +0.9028). RDKit
+# Crippen.MolLogP(aspirin) = 1.3101.
+ANCHORS.append(('aspirin',
+                # extras: 6=CH3, 7=ester C, 8=bridge O, 9=ester =O,
+                #         10=acid C, 11=acid =O, 12=acid OH
+                phenyl([6, 6, 8, 8, 6, 8, 8],
+                       {(8, 0): 1,                         # ring C0 - O
+                        (8, 7): 1, (7, 9): 2, (7, 6): 1,   # O-C(=O)-CH3
+                        (1, 10): 1, (10, 11): 2, (10, 12): 1}),  # COOH
+                1.3101))
+# anisole COc1ccccc1 — pure O4 aryl ether (no carbonyl in range).
+# RDKit Crippen.MolLogP(anisole) = sum of the published contributions for
+# the verified typing (5xC18 + C23 + O4 + C3 + 8xH1).
+ANCHORS.append(('anisole',
+                phenyl([8, 6], {(0, 6): 1, (6, 7): 1}),
+                5 * CRIPPEN_LOGP['C18'] + CRIPPEN_LOGP['C23']
+                + CRIPPEN_LOGP['O4'] + CRIPPEN_LOGP['C3']
+                + 8 * CRIPPEN_LOGP['H1']))
+
 
 @pytest.mark.parametrize('name,mol,expect',
                          ANCHORS, ids=[a[0] for a in ANCHORS])

@@ -122,6 +122,18 @@ MATCH_CASES = [
     # valence / degree / connectivity
     ('CS(=O)(=O)C', '[Sv6]', True),
     ('CSC', '[Sv6]', False),
+    # aromatic valence snaps DOWN to default+charge (RDKit kekulized
+    # semantics): pyrrole [nH] is v3, furan o / thiophene s v2,
+    # N-methylpyrrole n v3, pyridinium [nH+] v4
+    ('c1cc[nH]c1', '[nH;v3]', True),
+    ('c1cc[nH]c1', '[nH;v4]', False),
+    ('c1ccncc1', '[n;v3]', True),
+    ('c1ccoc1', '[o;v2]', True),
+    ('c1ccsc1', '[s;v2]', True),
+    ('Cn1cccc1', '[n;v3]', True),
+    ('c1cc[nH+]cc1', '[n;v4]', True),
+    ('c1ccccc1', '[c;v4]', True),
+    ('c1ccc2ccccc2c1', '[c;v4;D3]', True),
     ('CC(C)C', '[CD3]', True),
     ('CCCC', '[CD3]', False),
     # negated element class
