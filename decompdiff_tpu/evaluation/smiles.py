@@ -381,8 +381,14 @@ def mol_to_smiles(record, canonical: bool = True) -> str:
             parts.append(f'-{-q}')
         return '[' + ''.join(parts) + ']'
 
+    def written_aromatic(i) -> bool:
+        # aromaticity survives the roundtrip only when the symbol is
+        # written lowercase (organic aromatic subset); e.g. an
+        # aromatic-flagged halogen is emitted as [F] and re-reads plain
+        return bool(aromatic[i]) and int(record.element[i]) in _AROMATIC_OK_Z
+
     def bond_token(i, j, o) -> str:
-        both_arom = bool(aromatic[i]) and bool(aromatic[j])
+        both_arom = written_aromatic(i) and written_aromatic(j)
         if o == 1:
             return '-' if both_arom else ''
         if o == 2:

@@ -308,6 +308,24 @@ def test_writer_preserves_graph_invariants():
         assert a['logp'] == pytest.approx(b['logp'])
 
 
+def test_writer_order4_bond_to_unwritable_aromatic_atom():
+    # an aromatic flag on an atom outside the lowercase organic subset
+    # (e.g. a halogen) is unrepresentable in SMILES; the writer must then
+    # emit an explicit ':' so the order-4 bond survives the roundtrip
+    # instead of defaulting to single (regression: bond_token used the
+    # record's flags, not what the written tokens re-parse as)
+    rec = MolRecord(
+        element=np.array([6, 17], np.int64),
+        pos=np.zeros((2, 3), np.float32),
+        bond_index=np.array([[0, 1], [1, 0]], np.int64),
+        bond_type=np.array([4, 4], np.int64),
+        aromatic=np.array([True, True]),
+        charges=np.zeros(2, np.int64))
+    out = mol_to_smiles(rec)
+    m2 = mol_from_smiles(out)
+    assert np.asarray(m2.bond_type).tolist() == [4, 4]
+
+
 @pytest.mark.parametrize('smi', WRITER_SMILES)
 def test_writer_rdkit_reads_our_output(smi):
     rdkit = pytest.importorskip('rdkit')
