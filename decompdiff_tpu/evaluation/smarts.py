@@ -564,8 +564,10 @@ def _parse_bracket_expr(s: str, i: int) -> Tuple[Expr, int]:
                         # Daylight reads two-letter symbols greedily)
                         ):
                     sym2 = sym + s[j + 1]
+                    # uppercase bracket symbols are aliphatic (Daylight);
+                    # same rule as the single-letter branch below
                     return (Expr('prim',
-                                 ('elem', (SYMBOL_TO_Z[sym2], None))),
+                                 ('elem', (SYMBOL_TO_Z[sym2], False))),
                             j + 2)
                 if sym not in SYMBOL_TO_Z:
                     raise SmartsError(f'unknown symbol {sym!r} in {s!r}')
