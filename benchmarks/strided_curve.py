@@ -99,19 +99,25 @@ def aggregate(mols):
     from decompdiff_tpu.evaluation.eval_atom_type import (
         eval_atom_type_distribution)
     from decompdiff_tpu.evaluation.eval_bond_length import (
-        eval_pair_length_profile, get_pair_length_profile)
+        eval_bond_length_profile, eval_pair_length_profile,
+        get_bond_length_profile, get_pair_length_profile)
 
     n = len(mols)
-    pair, atoms = [], Counter()
+    pair, bond, atoms = [], [], Counter()
     for m in mols:
         pair += m['pair']
+        bond += m['bond']
         atoms.update(m['atoms'])
     pm = eval_pair_length_profile(get_pair_length_profile(pair))
+    bm = eval_bond_length_profile(get_bond_length_profile(bond))
     return {
         'recon_rate': sum(m['recon'] for m in mols) / max(n, 1),
         'complete_rate': sum(m['complete'] for m in mols) / max(n, 1),
         'JSD_All_12A': pm.get('JSD_All_12A'),
         'JSD_CC_2A': pm.get('JSD_CC_2A'),
+        # perceived C-C single-bond length JSD (evaluate.py's bond_jsd
+        # headline row, ref eval_bond_length.py:57-69)
+        'JSD_CC_bond': bm.get('JSD_6-6|1'),
         'atom_jsd': eval_atom_type_distribution(atoms) if atoms else None,
     }
 
@@ -167,8 +173,8 @@ def main():
 
     # markdown table for BASELINE.md
     print('\n| calls | recon | complete | JSD_All_12A [95% CI] | '
-          'JSD_CC_2A [95% CI] | atom JSD [95% CI] |')
-    print('|---|---|---|---|---|---|')
+          'JSD_CC_2A [95% CI] | JSD_CC_bond [95% CI] | atom JSD [95% CI] |')
+    print('|---|---|---|---|---|---|---|')
     for row in curve:
         p, c = row['point'], row['ci95']
 
@@ -180,7 +186,7 @@ def main():
         print(f"| {row['rung']} | {p['recon_rate']:.2f} | "
               f"{row['n_complete']}/{row['n_mols']} | "
               f"{fmt('JSD_All_12A')} | {fmt('JSD_CC_2A')} | "
-              f"{fmt('atom_jsd')} |")
+              f"{fmt('JSD_CC_bond')} | {fmt('atom_jsd')} |")
 
 
 if __name__ == '__main__':

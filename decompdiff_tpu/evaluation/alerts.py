@@ -49,10 +49,18 @@ FIRST_PARTY_ALERTS: List[Tuple[str, str]] = [
 ]
 
 
+_catalog_cache: dict = {}
+
+
 def load_catalog(path: str) -> List[Tuple[str, str]]:
     """Load a SMARTS catalog. Supports RDKit's pains.csv quoting
     ("SMARTS","<regId=name>") and plain `SMARTS name` lines; '#' comments
-    and blank lines skipped."""
+    and blank lines skipped. Cached by (path, mtime) — the chem-scoring
+    loop calls this once per molecule."""
+    key = (path, os.stat(path).st_mtime_ns)
+    hit = _catalog_cache.get(key)
+    if hit is not None:
+        return hit
     out: List[Tuple[str, str]] = []
     with open(path) as f:
         for line in f:
@@ -70,6 +78,9 @@ def load_catalog(path: str) -> List[Tuple[str, str]]:
                 smarts = fields[0]
                 name = fields[1].strip() if len(fields) > 1 else smarts
             out.append((name, smarts))
+    if len(_catalog_cache) >= 8:    # stale-mtime entries of the same paths
+        _catalog_cache.clear()
+    _catalog_cache[key] = out
     return out
 
 

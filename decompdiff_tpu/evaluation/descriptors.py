@@ -12,19 +12,22 @@ structurally from a MolRecord's (element, bonds, aromatic) graph:
   * Ertl TPSA from the published N/O environment contributions
     (Ertl, Rohde & Selzer, J. Med. Chem. 2000 — the same table behind
     RDKit's CalcTPSA default),
-  * a reduced Wildman-Crippen logP over structural atom classes,
+  * the full Wildman-Crippen 68-type logP (evaluation/crippen.py),
   * a Daylight-style linear-path fingerprint + Tanimoto,
-  * Lipinski rule-of-five count, a QED-structured drug-likeness score,
-    and the complexity half of the Ertl-Schuffenhauer SA score.
+  * Lipinski rule-of-five count, exact QED (Bickerton ADS curves),
+    and the full Ertl-Schuffenhauer SA score (fragment term via the
+    RDKit-exact Morgan fingerprint, evaluation/morgan.py).
 
 Exactness levels differ by descriptor and are documented per function (and
 in PARITY.md): implicit H / MW / HBD / HBA / TPSA follow published exact
 tables; logP is the FULL published Wildman-Crippen 68-type model
 (evaluation/crippen.py, anchor-tested); QED uses Bickerton's published
 fitted ADS desirability curves and weights_mean exactly, with the ALERTS
-term fixed at 0 (the Brenk SMARTS catalog is RDKit-internal); SA omits the
-fragment-frequency term (its corpus, fpscores.pkl.gz, encodes RDKit Morgan
-hash ids that only RDKit can reproduce). When RDKit is installed,
+term defaulting to 0 (the Brenk SMARTS catalog is RDKit-internal; supply
+it via DD_QED_ALERTS_SMARTS for an exact count); SA includes the
+fragment-frequency term — the committed fpscores.pkl.gz corpus is queried
+with the RDKit-exact first-party Morgan fingerprint (evaluation/morgan.py;
+remaining divergence: WL-estimated stereocenters). When RDKit is installed,
 evaluation/scoring.py prefers the reference recipes verbatim; these are
 the in-image fallbacks.
 """
@@ -343,9 +346,12 @@ def lipinski_count(record) -> int:
 # average atomic masses (QED's MW property is Descriptors.MolWt — average,
 # not monoisotopic)
 AVERAGE_MASS = {
-    1: 1.008, 5: 10.812, 6: 12.011, 7: 14.007, 8: 15.999, 9: 18.998,
-    14: 28.086, 15: 30.974, 16: 32.067, 17: 35.453, 33: 74.922,
-    34: 78.971, 35: 79.904, 53: 126.904,
+    1: 1.008, 2: 4.003, 3: 6.941, 4: 9.012, 5: 10.812, 6: 12.011,
+    7: 14.007, 8: 15.999, 9: 18.998, 10: 20.180, 11: 22.990, 12: 24.305,
+    13: 26.982, 14: 28.086, 15: 30.974, 16: 32.067, 17: 35.453,
+    19: 39.098, 20: 40.078, 25: 54.938, 26: 55.845, 27: 58.933,
+    28: 58.693, 29: 63.546, 30: 65.39, 33: 74.922, 34: 78.971,
+    35: 79.904, 53: 126.904,
 }
 
 # Asymmetric-double-sigmoid parameters (A, B, C, D, E, F, DMAX) per QED
@@ -630,7 +636,7 @@ def get_chem_record(record) -> dict:
         'lipinski': lipinski_count(record),
         'ring_size': Counter(get_ring_sizes(record)),
         # provenance marker so downstream consumers cannot silently mix
-        # scales: qed/logp are published-exact here (ALERTS=0 caveat for
-        # qed), sa omits the RDKit-bound fragment term
+        # scales: qed/logp/sa are published-exact here up to the documented
+        # caveats (qed ALERTS defaults to 0; sa stereocenters WL-estimated)
         'chem_backend': 'first_party',
     }

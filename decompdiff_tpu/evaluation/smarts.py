@@ -159,6 +159,8 @@ def _eval_atom(expr: Expr, ctx: MolContext, i: int) -> bool:
         return ctx.degree[i] == val
     if kind == 'H':
         return ctx.h[i] == val
+    if kind == 'Hmin':               # merged [#1] query atoms
+        return ctx.h[i] >= val
     if kind == 'X':
         return ctx.degree[i] + ctx.h[i] == val
     if kind == 'x':
@@ -211,6 +213,7 @@ class Pattern:
         self.bonds: List[Tuple[int, int, Optional[Expr]]] = []
         self.components: List[int] = []  # component id per query atom
         _parse_into(self, smarts)
+        _merge_query_hs(self)
         # adjacency over query atoms
         self.qadj: List[List[Tuple[int, Optional[Expr]]]] = [
             [] for _ in self.atoms]
@@ -323,6 +326,64 @@ def _match_anchor(pattern: 'Pattern', ctx: MolContext, atom: int) -> bool:
     return pattern.match_at(ctx, atom)
 
 
+def _merge_query_hs(pat: 'Pattern') -> None:
+    """RDKit mergeQueryHs parity: explicit-hydrogen query atoms ([#1])
+    cannot map onto heavy-atom-only MolRecords, so a plain [#1] hanging off
+    a heavy query atom by a default/single/~ bond is removed and folded
+    into a minimum-H-count constraint on that atom (real PAINS corpora,
+    e.g. wehi_pains.csv, write most N-H/C-H this way). Unmergeable H atoms
+    (multivalent, H-H bonded, exotic bond expr, or query atom 0 — the
+    recursive-SMARTS anchor) stay as graph atoms and simply never match."""
+
+    def _is_plain_h(expr: Expr) -> bool:
+        return (expr.op == 'prim' and expr.args[0] == 'elem'
+                and expr.args[1][0] == 1)
+
+    def _bond_mergeable(e: Optional[Expr]) -> bool:
+        if e is None:
+            return True
+        return (e.op == 'prim'
+                and e.args in (('order', 1), ('anybond', None)))
+
+    h_atoms = {q for q, a in enumerate(pat.atoms) if _is_plain_h(a)}
+    if not h_atoms:
+        return
+    nb: Dict[int, List[Tuple[int, Optional[Expr]]]] = {}
+    for a, b, e in pat.bonds:
+        nb.setdefault(a, []).append((b, e))
+        nb.setdefault(b, []).append((a, e))
+    removed = set()
+    for q in h_atoms:
+        if q == 0:
+            continue
+        links = nb.get(q, [])
+        if len(links) != 1:
+            continue
+        j, e = links[0]
+        if j in h_atoms or not _bond_mergeable(e):
+            continue
+        removed.add(q)
+    if not removed:
+        return
+    hmin: Dict[int, int] = {}
+    for q in removed:
+        j = nb[q][0][0]
+        hmin[j] = hmin.get(j, 0) + 1
+    keep = [q for q in range(len(pat.atoms)) if q not in removed]
+    remap = {old: new for new, old in enumerate(keep)}
+    atoms = []
+    for old in keep:
+        a = pat.atoms[old]
+        n = hmin.get(old, 0)
+        if n:
+            a = Expr('and', [a, Expr('prim', ('Hmin', n))])
+        atoms.append(a)
+    pat.atoms = atoms
+    pat.components = [pat.components[old] for old in keep]
+    pat.bonds = [(remap[a], remap[b], e) for a, b, e in pat.bonds
+                 if a not in removed and b not in removed]
+
+
 # -- tokenizer/parser ------------------------------------------------------
 
 def _parse_into(pat: Pattern, s: str) -> None:
@@ -399,13 +460,21 @@ def _parse_into(pat: Pattern, s: str) -> None:
             i += 1
         elif c.isdigit() or c == '%':
             if c == '%':
-                num, i = int(s[i + 1:i + 3]), i + 3
+                d = s[i + 1:i + 3]
+                if len(d) < 2 or not d.isdigit():
+                    raise SmartsError(f'% needs two digits at {i} in {s!r}')
+                num, i = int(d), i + 3
             else:
                 num, i = int(c), i + 1
             if prev < 0:
                 raise SmartsError(f'ring closure before atom in {s!r}')
             if num in ring:
                 other, e0, set0 = ring.pop(num)
+                if (pending_set and set0
+                        and repr(pending) != repr(e0)):
+                    raise SmartsError(
+                        f'conflicting ring-closure bond expressions '
+                        f'for {num} in {s!r}')
                 if pending_set:
                     e = pending
                 elif set0:
@@ -621,7 +690,7 @@ def _parse_bracket_expr(s: str, i: int) -> Tuple[Expr, int]:
     return expr, j + 1
 
 
-@lru_cache(maxsize=512)
+@lru_cache(maxsize=4096)            # PAINS(480) + Brenk(105) must co-reside
 def compile_smarts(smarts: str) -> Pattern:
     """Parse + cache a SMARTS pattern."""
     return Pattern(smarts)

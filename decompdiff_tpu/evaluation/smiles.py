@@ -49,7 +49,9 @@ class SmilesError(ValueError):
 def _parse_bracket(s: str, i: int):
     """Parse the body of a bracket atom starting after '['. Returns
     (z, aromatic, h_count, charge, next_index)."""
-    j = s.index(']', i)
+    j = s.find(']', i)
+    if j < 0:
+        raise SmilesError(f'unterminated bracket atom in {s!r}')
     body = s[i:j]
     k = 0
     # isotope
@@ -191,13 +193,22 @@ def mol_from_smiles(smiles: str, name: str = '') -> MolRecord:
             i += 1
         elif c.isdigit() or c == '%':
             if c == '%':
-                num, i = int(s[i + 1:i + 3]), i + 3
+                d = s[i + 1:i + 3]
+                if len(d) < 2 or not d.isdigit():
+                    raise SmilesError(f'% needs two digits at {i} '
+                                      f'in {smiles!r}')
+                num, i = int(d), i + 3
             else:
                 num, i = int(c), i + 1
             if prev < 0:
                 raise SmilesError(f'ring closure before atom in {smiles!r}')
             if num in ring:
                 other, order0 = ring.pop(num)
+                if (pending is not None and order0 is not None
+                        and pending != order0):
+                    raise SmilesError(
+                        f'conflicting ring-closure bond orders '
+                        f'{order0} vs {pending} for %{num} in {smiles!r}')
                 order = pending if pending is not None else order0
                 if order is None:
                     order = 4 if (aromatic[prev] and aromatic[other]) else 1
@@ -298,20 +309,48 @@ def canonical_ranks(record) -> List[int]:
             ranks = new
 
     ranks = refine(ranks)
-    # break remaining ties deterministically: bump the canonically-first
-    # member of the smallest tied class and re-refine
-    while len(set(ranks)) < n:
-        from collections import Counter
-        counts = Counter(ranks)
-        tied_rank = min(r for r, c in counts.items() if c > 1)
-        members = [i for i in range(n) if ranks[i] == tied_rank]
-        # deterministic member choice: refine a probe ranking per member
-        # and pick the lexicographically-smallest resulting signature
-        best = min(members)
-        ranks = [r + 1 if r > tied_rank or (r == tied_rank and i != best)
-                 else r for i, r in enumerate(ranks)]
-        # normalize the tied class we just split
-        ranks = refine(ranks)
+
+    # Break remaining WL ties canonically: branch over every member of the
+    # smallest tied class, refine each branch, recurse, and keep the branch
+    # whose fully-resolved labeled-graph certificate is minimal. The
+    # candidate set is permutation-invariant, so the minimum is too —
+    # including for WL-indistinguishable NON-automorphic atoms (regular
+    # graphs like the Frucht cage), where a fixed-member tie-break would be
+    # input-order dependent. Branch count ~ automorphism-group order for
+    # symmetric molecules; `budget` caps pathological cases (beyond it the
+    # result is still deterministic for a fixed atom order, just not
+    # guaranteed order-independent).
+    def certificate(rk):
+        atoms = tuple(sorted((rk[i],) + tuple(seeds[i]) for i in range(n)))
+        bnds = tuple(sorted(
+            (min(rk[a], rk[b]), max(rk[a], rk[b]), o)
+            for (a, b), o in bonds.items()))
+        return (atoms, bnds)
+
+    budget = [3000]
+
+    def resolve(rk):
+        tied = {}
+        for i, r in enumerate(rk):
+            tied.setdefault(r, []).append(i)
+        classes = sorted(r for r, ms in tied.items() if len(ms) > 1)
+        if not classes:
+            return certificate(rk), rk
+        tr = classes[0]
+        best = None
+        for i in tied[tr]:
+            if budget[0] <= 0 and best is not None:
+                break
+            budget[0] -= 1
+            bumped = [r + 1 if (r > tr or (r == tr and j != i)) else r
+                      for j, r in enumerate(rk)]
+            cert, full = resolve(refine(bumped))
+            if best is None or cert < best[0]:
+                best = (cert, full)
+        return best
+
+    if len(set(ranks)) < n:
+        ranks = resolve(ranks)[1]
     return ranks
 
 

@@ -257,8 +257,8 @@ def main(argv=None):
         'ring_ratio': ring_ratio,
         'chem': chem_rows, 'vina': vina_rows,
         # which stack scored the chem rows (rdkit = reference recipes;
-        # first_party = evaluation/descriptors.py — qed/logp exact,
-        # sa lacks the RDKit-bound fragment term)
+        # first_party = evaluation/descriptors.py — qed/logp/sa exact up
+        # to documented caveats, see descriptors.get_chem_record)
         'chem_backend': (chem_rows[0].get('chem_backend')
                          if chem_rows else None),
         'vina_metrics': vina_metrics,

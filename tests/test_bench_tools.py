@@ -40,6 +40,8 @@ def _fake_mols(n_complete, n_total, seed=0):
             entry['atoms'] = Counter({6: 10, 7: 2, 8: 2})
             entry['pair'] = [((6, 6), float(d))
                              for d in rng.uniform(1.2, 11.5, size=40)]
+            entry['bond'] = [((6, 6, 1), float(d))
+                             for d in rng.uniform(1.35, 1.65, size=12)]
         mols.append(entry)
     return mols
 
@@ -50,6 +52,9 @@ def test_curve_aggregate_and_bootstrap():
     point = aggregate(mols)
     assert point['complete_rate'] == 10 / 64
     assert np.isfinite(point['JSD_All_12A'])
+    # the bond-length JSD must flow into the curve (regression: per-mol
+    # bond samples were computed but never aggregated)
+    assert np.isfinite(point['JSD_CC_bond'])
     cis = bootstrap(mols, n_boot=50)
     lo, hi = cis['JSD_All_12A']
     assert lo <= hi

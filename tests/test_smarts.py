@@ -63,9 +63,46 @@ def test_smiles_explicit_bond_orders():
 
 
 def test_smiles_errors():
-    for bad in ['C(', 'C)', 'C1CC', 'Xx', '', '[Q]', '1CC']:
+    for bad in ['C(', 'C)', 'C1CC', 'Xx', '', '[Q]', '1CC',
+                # error-contract regressions: these used to escape as bare
+                # ValueError (unterminated bracket, malformed %), or parse
+                # silently (conflicting ring-closure orders; RDKit rejects)
+                'C[NH2', 'C%', 'C%1C', 'C=1CCCCC#1']:
         with pytest.raises(SmilesError):
             mol_from_smiles(bad)
+    # agreeing ring-closure orders stay legal (either or both ends)
+    m = mol_from_smiles('C=1CCCCC=1')
+    assert sorted(np.asarray(m.bond_type).tolist())[-2:] == [2, 2]
+
+
+def test_smiles_canonical_for_wl_tied_nonautomorphic_atoms():
+    """The Frucht graph (3-regular, trivial automorphism group) is
+    WL-indistinguishable at every refinement level; the writer must still
+    emit ONE canonical string across atom orders (regression: the
+    tie-break picked min(input index))."""
+    from decompdiff_tpu.data.mol import MolRecord as MR
+    from decompdiff_tpu.evaluation.smiles import mol_to_smiles as to_smi
+    lcf = [-5, -2, -4, 2, 5, -2, 2, 5, -2, -5, 4, 2]
+    edges = set()
+    for i in range(12):
+        edges.add((min(i, (i + 1) % 12), max(i, (i + 1) % 12)))
+        j = (i + lcf[i]) % 12
+        edges.add((min(i, j), max(i, j)))
+
+    def build(perm):
+        inv = {old: new for new, old in enumerate(perm)}
+        und = np.array(sorted((min(inv[a], inv[b]), max(inv[a], inv[b]))
+                              for a, b in edges), np.int64).T
+        bi = np.concatenate([und, und[::-1]], axis=1)
+        return MR(element=np.full(12, 6, np.int64),
+                  pos=np.zeros((12, 3), np.float32),
+                  bond_index=bi, bond_type=np.ones(bi.shape[1], np.int64),
+                  aromatic=np.zeros(12, bool),
+                  charges=np.zeros(12, np.int64))
+
+    rng = np.random.default_rng(5)
+    outs = {to_smi(build(rng.permutation(12))) for _ in range(12)}
+    assert len(outs) == 1
 
 
 # --------------------------------------------------------------------------
@@ -179,6 +216,28 @@ def test_smarts_context_properties():
     assert ctx.min_ring[1] == 6
     assert ctx.h[0] == 1                       # phenol OH
     assert ctx.degree[0] == 1
+
+
+def test_smarts_explicit_h_queries_merge():
+    """[#1] query atoms fold into min-H-count constraints on their heavy
+    neighbor (RDKit mergeQueryHs parity) — real PAINS corpora write N-H/C-H
+    this way; before the merge every such pattern silently never matched
+    heavy-atom-only MolRecords."""
+    # wehi_pains.csv ene_cyano_A
+    pat = '[#6](=[#6](-[#6]#[#7])-[#7](-[#1])-[#1])(-[#1])-[#6]:[#6]'
+    assert has_substruct(mol_from_smiles('NC(=Cc1ccccc1)C#N'), pat)
+    assert not has_substruct(mol_from_smiles('CN(C)C(=Cc1ccccc1)C#N'), pat)
+    # H-count semantics are >= (two merged Hs need >= 2, not exactly 2)
+    assert has_substruct(mol_from_smiles('N'), '[#7](-[#1])-[#1]')     # NH3
+    assert has_substruct(mol_from_smiles('NC'), '[#7]-[#1]')           # NH2
+    assert not has_substruct(mol_from_smiles('CN(C)C'), '[#7]-[#1]')
+    # unmergeable: a lone [#1] stays a graph atom and never matches
+    assert not has_substruct(mol_from_smiles('C'), '[#1]')
+    # the merged pattern keeps its other bonds intact
+    p = compile_smarts('[#6](-[#1])(-[#1])=O')
+    assert len(p.atoms) == 2 and len(p.bonds) == 1
+    assert p.match(mol_from_smiles('C=O'))
+    assert not p.match(mol_from_smiles('CC(C)=O'))
 
 
 def test_smarts_errors():
