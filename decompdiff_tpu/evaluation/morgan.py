@@ -31,7 +31,6 @@ our reconstruction emits (order-4 aromatic bonds, valence-model H counts).
 from __future__ import annotations
 
 import gzip
-import math
 import os
 import pickle
 from typing import Dict, List, Optional, Tuple
