@@ -27,7 +27,8 @@ term defaulting to 0 (the Brenk SMARTS catalog is RDKit-internal; supply
 it via DD_QED_ALERTS_SMARTS for an exact count); SA includes the
 fragment-frequency term — the committed fpscores.pkl.gz corpus is queried
 with the RDKit-exact first-party Morgan fingerprint (evaluation/morgan.py;
-remaining divergence: WL-estimated stereocenters). When RDKit is installed,
+stereocenters via converged-WL rank distinctness, heteroatom centers
+uncounted). When RDKit is installed,
 evaluation/scoring.py prefers the reference recipes verbatim; these are
 the in-image fallbacks.
 """
@@ -279,31 +280,52 @@ def tanimoto(fp_a: np.ndarray, fp_b: np.ndarray) -> float:
 # Weisfeiler-Lehman atom environments (Morgan-style, for SA symmetry term
 # and stereocenter estimation)
 
-def wl_environments(element, bonds: Dict[Bond, int], aromatic,
-                    radius: int = 2) -> List[str]:
-    element = np.asarray(element)
+def _converged_partition(element, bonds: Dict[Bond, int], aromatic,
+                         h_counts, charges) -> List[int]:
+    """Coarsest stable WL partition of the atoms (iterated neighborhood
+    refinement to a fixpoint) seeded with (element, charge, nH, aromatic,
+    degree) — the same information RDKit's legacy canonical ranks start
+    from, and the partition those ranks induce before tie-breaking. Two
+    atoms share a class iff no amount of neighborhood refinement can tell
+    them apart (equals the automorphism orbit partition on all
+    non-pathological molecular graphs)."""
+    n = len(element)
+    adj = _adjacency(n, bonds)
+    charges = np.zeros(n, np.int64) if charges is None else \
+        np.asarray(charges)
     aromatic = np.asarray(aromatic, bool)
-    adj = _adjacency(len(element), bonds)
-    labels = [f'{int(element[i])}:{int(aromatic[i])}:{len(adj[i])}'
-              for i in range(len(element))]
-    for _ in range(radius):
-        labels = [
-            hashlib.md5(
-                (labels[i] + '|' +
-                 '|'.join(sorted(f'{o}-{labels[j]}' for j, o in adj[i]))
-                 ).encode()).hexdigest()[:12]
-            for i in range(len(element))]
-    return labels
+
+    def classes(ls):
+        order = {lab: k for k, lab in enumerate(sorted(set(ls)))}
+        return [order[lab] for lab in ls]
+
+    cls = classes([(int(element[i]), int(charges[i]), int(h_counts[i]),
+                    bool(aromatic[i]), len(adj[i])) for i in range(n)])
+    for _ in range(max(n, 1)):
+        new = classes([(cls[i],
+                        tuple(sorted((o, cls[j]) for j, o in adj[i])))
+                       for i in range(n)])
+        if new == cls:
+            break
+        cls = new
+    return cls
 
 
 def _estimate_stereocenters(record, h_counts) -> int:
-    """sp3 carbons whose (up to 4) substituent branches are pairwise
-    distinct at WL radius 3 — the structural stand-in for
-    FindMolChiralCenters(includeUnassigned=True) in the SA stereo penalty
-    (ref utils/evaluation/sascorer.py:70-80 via scoring.py:77)."""
+    """sp3 carbons whose (up to 4) substituent branches fall in pairwise
+    distinct classes of the converged WL partition — the structural
+    stand-in for FindMolChiralCenters(includeUnassigned=True) in the SA
+    stereo penalty (ref utils/evaluation/sascorer.py:70-80 via
+    scoring.py:77). RDKit's legacy possible-stereocenter flag compares the
+    neighbors' canonical ranks; the converged partition is exactly those
+    ranks before tie-breaking, so this matches it wherever WL refinement
+    resolves the orbits (all molecule-sized graphs in practice). Remaining
+    deliberate divergence: heteroatom centers (S=O, P, N+) are not
+    counted."""
     element = np.asarray(record.element)
     bonds = _undirected(record)
-    labels = wl_environments(element, bonds, record.aromatic, radius=3)
+    labels = _converged_partition(element, bonds, record.aromatic,
+                                  h_counts, record.charges)
     adj = _adjacency(len(element), bonds)
     n = 0
     for i in range(len(element)):
@@ -567,8 +589,9 @@ def sa_score(record) -> float:
     RDKit-exact (100% corpus membership on anchor molecules,
     tests/test_morgan.py); the size/ring/stereo/symmetry penalties follow
     the published formula (ref sascorer.py:60-106). Remaining divergence:
-    the stereocenter count is the WL-environment estimate rather than
-    RDKit's CIP perception."""
+    the stereocenter count matches RDKit's legacy possible-stereocenter
+    flag (converged-WL rank distinctness) but skips heteroatom centers
+    and CIP-only corner cases."""
     element = np.asarray(record.element)
     bonds = _undirected(record)
     h = implicit_h_counts(element, bonds, record.charges)
@@ -637,6 +660,6 @@ def get_chem_record(record) -> dict:
         'ring_size': Counter(get_ring_sizes(record)),
         # provenance marker so downstream consumers cannot silently mix
         # scales: qed/logp/sa are published-exact here up to the documented
-        # caveats (qed ALERTS defaults to 0; sa stereocenters WL-estimated)
+        # caveats (qed ALERTS defaults to 0; sa stereocenters carbon-only)
         'chem_backend': 'first_party',
     }

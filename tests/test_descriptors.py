@@ -182,6 +182,21 @@ def test_stereocenter_estimate():
     # neopentane: none (4 identical branches)
     neo = rec([6] * 5, {(0, i): 1 for i in range(1, 5)})
     assert _estimate_stereocenters(neo, _h(neo)) == 0
+    # branches that differ only 5 bonds out (beyond any fixed WL radius):
+    # center C bearing OH, CH3, and two pentyl chains terminated Cl vs Br
+    # — the converged partition must still tell them apart (RDKit's
+    # canonical ranks do), where a radius-limited estimate could not
+    far = {(0, 1): 1, (0, 2): 1, (0, 3): 1, (3, 4): 1, (4, 5): 1,
+           (5, 6): 1, (6, 7): 1, (7, 8): 1, (0, 9): 1, (9, 10): 1,
+           (10, 11): 1, (11, 12): 1, (12, 13): 1, (13, 14): 1}
+    el = [6, 8, 6] + [6] * 5 + [17] + [6] * 5 + [35]
+    m = rec(el, far)
+    assert _estimate_stereocenters(m, _h(m)) == 1
+    # same skeleton with both chains ending Cl: the branches are
+    # equivalent, no stereocenter
+    el_sym = [6, 8, 6] + [6] * 5 + [17] + [6] * 5 + [17]
+    m_sym = rec(el_sym, far)
+    assert _estimate_stereocenters(m_sym, _h(m_sym)) == 0
 
 
 def test_get_chem_routes_molrecord(mols):
