@@ -407,3 +407,95 @@ def test_qed_alerts_env_corpus(tmp_path, monkeypatch):
     assert props['ALERTS'] == 1
     assert qed_score(quinone) < base  # alert hit lowers desirability
     assert qed_properties(mol_from_smiles('CCO'))['ALERTS'] == 0
+
+
+# --------------------------------------------------------------------------
+# randomized writer fuzz: random heavy-atom graphs -> write -> reparse ->
+# graph equality (the sampler's reconstructed molecules are arbitrary
+# graphs, not curated drug-like SMILES — the writer must survive them)
+
+def _random_record(rng):
+    n = int(rng.integers(2, 14))
+    # random spanning tree keeps the graph connected
+    pairs = {(int(rng.integers(0, i)), i) for i in range(1, n)}
+    for _ in range(int(rng.integers(0, n))):  # extra edges -> rings
+        a, b = sorted(int(x) for x in rng.choice(n, size=2, replace=False))
+        pairs.add((a, b))
+    pairs = sorted(pairs)
+    orders = rng.choice([1, 1, 1, 2, 3], size=len(pairs))
+    element = rng.choice([6, 6, 6, 7, 8, 9, 16, 17], size=n)
+    charges = rng.choice([0, 0, 0, 0, 0, 1, -1], size=n)
+    src = [a for a, b in pairs] + [b for a, b in pairs]
+    dst = [b for a, b in pairs] + [a for a, b in pairs]
+    return MolRecord(
+        element=np.asarray(element, np.int64),
+        pos=np.zeros((n, 3), np.float32),
+        bond_index=np.asarray([src, dst], np.int64),
+        bond_type=np.asarray(list(orders) * 2, np.int64),
+        aromatic=np.zeros(n, bool),
+        charges=np.asarray(charges, np.int64))
+
+
+def _heavy_graph_key(m):
+    """Canonical-independent invariant: sorted multiset of
+    (element, charge) per atom and per-bond (endpoint sorted keys, order)."""
+    el = np.asarray(m.element)
+    q = (np.asarray(m.charges) if m.charges is not None
+         else np.zeros(len(el), np.int64))
+    atoms = sorted(zip(el.tolist(), q.tolist()))
+    seen = {}
+    bi, bt = np.asarray(m.bond_index), np.asarray(m.bond_type)
+    for k in range(bi.shape[1]):
+        a, b = int(bi[0, k]), int(bi[1, k])
+        if a > b:
+            a, b = b, a
+        seen[(a, b)] = int(bt[k])
+    bonds = sorted(((el[a], q[a]) if (el[a], q[a]) <= (el[b], q[b])
+                    else (el[b], q[b]),
+                    max((el[a], q[a]), (el[b], q[b])), o)
+                   for (a, b), o in seen.items())
+    return atoms, bonds
+
+
+def test_writer_fuzz_roundtrip_random_graphs():
+    rng = np.random.default_rng(12345)
+    for trial in range(60):
+        m = _random_record(rng)
+        can = mol_to_smiles(m)
+        m2 = mol_from_smiles(can)
+        assert m2.num_atoms == m.num_atoms, (trial, can)
+        assert _heavy_graph_key(m2) == _heavy_graph_key(m), (trial, can)
+        # canonical: permuting the input cannot change the string, and the
+        # reparse re-canonicalizes to itself (idempotence)
+        assert mol_to_smiles(m2) == can, (trial, can)
+        perm = rng.permutation(m.num_atoms)
+        assert mol_to_smiles(_permute(m, perm)) == can, (trial, can)
+
+
+def test_writer_fuzz_aromatic_rings():
+    # aromatic flags + order-4 bonds on random even cycles with random
+    # substituents: lowercase-writable and ':'-fallback paths both land in
+    # an equal heavy-atom graph after reparse
+    rng = np.random.default_rng(54321)
+    for trial in range(20):
+        k = int(rng.choice([5, 6, 7]))
+        n = k + int(rng.integers(0, 3))
+        element = [6] * k + list(rng.choice([6, 7, 8], size=n - k))
+        pairs = [(i, (i + 1) % k) for i in range(k)]
+        orders = [4] * k
+        for j in range(k, n):  # hang substituents off the ring
+            pairs.append((int(rng.integers(0, k)), j))
+            orders.append(1)
+        src = [a for a, b in pairs] + [b for a, b in pairs]
+        dst = [b for a, b in pairs] + [a for a, b in pairs]
+        m = MolRecord(
+            element=np.asarray(element, np.int64),
+            pos=np.zeros((n, 3), np.float32),
+            bond_index=np.asarray([src, dst], np.int64),
+            bond_type=np.asarray(orders * 2, np.int64),
+            aromatic=np.asarray([True] * k + [False] * (n - k)),
+            charges=np.zeros(n, np.int64))
+        can = mol_to_smiles(m)
+        m2 = mol_from_smiles(can)
+        assert _heavy_graph_key(m2) == _heavy_graph_key(m), (trial, can)
+        assert mol_to_smiles(m2) == can, (trial, can)
