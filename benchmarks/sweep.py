@@ -38,6 +38,14 @@ NUM_LIGAND = 32
 NUM_FULL_PROTEIN = 2048
 
 
+def set_shapes(num_protein: int, num_ligand: int) -> None:
+    """Point the sweep at a different collator-ladder bucket (the blended
+    bench's 192/24 and 448/48 rungs; default is the headline 320/32)."""
+    global NUM_PROTEIN, NUM_LIGAND
+    NUM_PROTEIN = num_protein
+    NUM_LIGAND = num_ligand
+
+
 def parse_variant(tokens):
     spec = {'name': None, 'batch': 8, 'overrides': {}}
     for tok in tokens:
@@ -128,7 +136,10 @@ def main():
     ap.add_argument('--variant', action='append', nargs='+', required=True,
                     metavar='KEY=VAL')
     ap.add_argument('--out', default=None, help='also write JSON here')
+    ap.add_argument('--num_protein', type=int, default=NUM_PROTEIN)
+    ap.add_argument('--num_ligand', type=int, default=NUM_LIGAND)
     args = ap.parse_args()
+    set_shapes(args.num_protein, args.num_ligand)
 
     results = []
     for tokens in args.variant:
