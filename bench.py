@@ -185,20 +185,30 @@ def main():
         # Blend across the collator ladder (VERDICT r4 item 4): the
         # single Np=320/Nl=32 bucket is one rung of a real pocket set.
         # Two more rungs are measured with shorter scans (per-step cost is
-        # scan-length-invariant) and blended by mix weight.
+        # scan-length-invariant) and blended by mix weight. Guarded: a
+        # failure here (e.g. the axon tunnel dying mid-session — a
+        # twice-observed mode) must not discard the already-completed
+        # ~35-min single-bucket measurement.
         import dataclasses
-        blended, buckets = _blended_measurement(
-            jax, model, dataclasses.replace(sample_cfg, num_steps=200),
-            params, sec_per_mol)
-        record.update({
-            'value': round(blended, 4),
-            'single_bucket_sec_per_mol': round(sec_per_mol, 4),
-            # vs_baseline stays the same-shape measured dense/fused ratio
-            # on the 320/32 bucket (the only shape with a measured dense
-            # baseline; re-measure with --dense)
-            'vs_baseline': round(BASELINE_SEC_PER_MOL / sec_per_mol, 2),
-            'buckets': buckets,
-        })
+        import traceback
+        try:
+            blended, buckets = _blended_measurement(
+                jax, model, dataclasses.replace(sample_cfg, num_steps=200),
+                params, sec_per_mol)
+            record.update({
+                'value': round(blended, 4),
+                'single_bucket_sec_per_mol': round(sec_per_mol, 4),
+                # vs_baseline stays the same-shape measured dense/fused
+                # ratio on the 320/32 bucket (the only shape with a
+                # measured dense baseline; re-measure with --dense)
+                'vs_baseline': round(BASELINE_SEC_PER_MOL / sec_per_mol, 2),
+                'buckets': buckets,
+            })
+        except Exception:
+            traceback.print_exc()
+            record['metric'] = 'sampling_sec_per_molecule_1000step_guided'
+            record['blend_error'] = 'blended measurement failed; ' \
+                'single 320/32 bucket reported (rounds 1-4 metric)'
     print(json.dumps(record))
 
 

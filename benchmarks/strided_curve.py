@@ -40,8 +40,11 @@ def run_rung(args, rung: int, outdir: str) -> None:
     with open(BASE_CONFIG) as f:
         cfg = yaml.safe_load(f)
     cfg['sample']['num_steps'] = int(rung)
-    # strided == dense when num_steps == num_timesteps (sampler takes the
-    # dense path); keeping the knob constant isolates the rung variable
+    # At num_steps == num_timesteps the strided code path's skip posteriors
+    # reduce to the dense ones (equivalence-tested allclose on pos, exact on
+    # v/bond: tests/test_strided_sampling.py test_strided_full_chain_matches
+    # _dense) — it still runs the skip-posterior arithmetic, not the dense
+    # branch. Keeping the knob constant isolates the rung variable.
     cfg['sample']['skip_mode'] = 'strided'
     os.makedirs(outdir, exist_ok=True)
     cfg_path = os.path.join(outdir, f'sample_rung{rung}.yml')
@@ -64,8 +67,10 @@ def per_mol_stats(outdir: str):
     Each entry: dict(recon, complete, bond, pair, atoms) where bond/pair are
     the reference distance-sample lists and atoms the element multiset —
     aggregating entries reproduces scripts/evaluate.py's population metrics
-    exactly (same filters: disconnected molecules contribute nothing,
-    ref evaluate_mol_from_meta_full.py:73-74).
+    (same disconnected-molecule filter, ref
+    evaluate_mol_from_meta_full.py:73-74; evaluate.py additionally drops the
+    rare molecule whose chem scoring raises, which this script does not, so
+    the two can differ by those drops).
     """
     from collections import Counter
 
@@ -122,15 +127,108 @@ def aggregate(mols):
     }
 
 
+def _binned_matrices(mols):
+    """Per-molecule additive bin-count rows for every bootstrap metric.
+
+    get_distribution's histograms are additive at the count level, so a
+    resampling round reduces to an O(n_mols) row-sum over these matrices
+    instead of re-binning every raw pair distance (the naive per-round
+    re-aggregation cost minutes at 512 mols x 1000 rounds on the 1-core
+    driver VM). Exact parity with aggregate() is tested in
+    tests/test_bench_tools.py::test_fast_bootstrap_matches_aggregate.
+    """
+    from decompdiff_tpu.evaluation.eval_atom_type import (
+        ATOM_TYPE_DISTRIBUTION)
+    from decompdiff_tpu.evaluation.eval_bond_length import (
+        DISTANCE_BINS, PAIR_BINS)
+
+    n = len(mols)
+    atom_keys = list(ATOM_TYPE_DISTRIBUTION)
+    cc_bins, all_bins = PAIR_BINS['CC_2A'], PAIR_BINS['All_12A']
+    M = {
+        'recon': np.array([m['recon'] for m in mols], float),
+        'complete': np.array([m['complete'] for m in mols], float),
+        'cc': np.zeros((n, len(cc_bins) + 1)),
+        'all': np.zeros((n, len(all_bins) + 1)),
+        'bond_cc1': np.zeros((n, len(DISTANCE_BINS) + 1)),
+        'atoms': np.zeros((n, len(atom_keys))),
+        'atoms_total': np.zeros(n),
+    }
+    for i, m in enumerate(mols):
+        cc = [d for k, d in m['pair'] if k == (6, 6) and d < 2]
+        alld = [d for _, d in m['pair'] if d < 12]
+        bcc = [d for (z1, z2, c), d in m['bond']
+               if (min(z1, z2), max(z1, z2), c) == (6, 6, 1)]
+        if cc:
+            M['cc'][i] = np.bincount(np.searchsorted(cc_bins, cc),
+                                     minlength=len(cc_bins) + 1)
+        if alld:
+            M['all'][i] = np.bincount(np.searchsorted(all_bins, alld),
+                                      minlength=len(all_bins) + 1)
+        if bcc:
+            M['bond_cc1'][i] = np.bincount(
+                np.searchsorted(DISTANCE_BINS, bcc),
+                minlength=len(DISTANCE_BINS) + 1)
+        M['atoms'][i] = [m['atoms'].get(k, 0) for k in atom_keys]
+        M['atoms_total'][i] = sum(m['atoms'].values())
+    return M
+
+
+def _round_metrics(M, idx):
+    """aggregate() over a resample index vector, from the binned matrices.
+
+    Metric-for-metric identical arithmetic to aggregate(): histograms are
+    normalized by max(count, 1) (get_distribution), the atom marginal by the
+    ALL-element total (eval_atom_type_distribution), and zero-sample rounds
+    come out NaN (scipy renormalizes a zero vector to 0/0) exactly where
+    aggregate() yields NaN or None — the caller drops both.
+    """
+    from scipy.spatial import distance as sci_distance
+
+    from decompdiff_tpu.evaluation.eval_atom_type import (
+        ATOM_TYPE_DISTRIBUTION)
+    from decompdiff_tpu.evaluation.eval_bond_length import (
+        REF_BOND_DISTRIBUTIONS, REF_PAIR_DISTRIBUTIONS)
+
+    n = len(idx)
+
+    def _jsd(gt, counts):
+        if counts.sum() == 0:
+            return float('nan')
+        return float(sci_distance.jensenshannon(
+            gt, counts / max(counts.sum(), 1)))
+
+    atoms = M['atoms'][idx].sum(0)
+    total = M['atoms_total'][idx].sum()
+    ref_atom = np.array(list(ATOM_TYPE_DISTRIBUTION.values()))
+    return {
+        'recon_rate': float(M['recon'][idx].sum()) / max(n, 1),
+        'complete_rate': float(M['complete'][idx].sum()) / max(n, 1),
+        'JSD_All_12A': _jsd(REF_PAIR_DISTRIBUTIONS['All_12A'],
+                            M['all'][idx].sum(0)),
+        'JSD_CC_2A': _jsd(REF_PAIR_DISTRIBUTIONS['CC_2A'],
+                          M['cc'][idx].sum(0)),
+        'JSD_CC_bond': (_jsd(REF_BOND_DISTRIBUTIONS[(6, 6, 1)],
+                             M['bond_cc1'][idx].sum(0))
+                        if (6, 6, 1) in REF_BOND_DISTRIBUTIONS
+                        else None),
+        'atom_jsd': (float(sci_distance.jensenshannon(
+            ref_atom, atoms / max(total, 1))) if total > 0
+            else float('nan')),
+    }
+
+
 def bootstrap(mols, n_boot: int, seed: int = 0):
     """Molecule-level bootstrap: resample molecules with replacement and
-    re-aggregate; 95% percentile CIs per metric."""
+    re-aggregate (via the precomputed binned matrices); 95% percentile CIs
+    per metric."""
     rng = np.random.default_rng(seed)
     n = len(mols)
+    M = _binned_matrices(mols)
     samples = {}
     for _ in range(n_boot):
         idx = rng.integers(0, n, size=n)
-        agg = aggregate([mols[i] for i in idx])
+        agg = _round_metrics(M, idx)
         for k, v in agg.items():
             # a resample with zero complete molecules yields NaN JSDs
             # (empty profile); drop those rounds per metric

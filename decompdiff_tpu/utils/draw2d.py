@@ -203,6 +203,15 @@ def mols_to_grid_svg(mols: List, legends: Optional[List[str]] = None,
     mols = list(mols)
     if not mols:
         return SVGImage('<svg xmlns="http://www.w3.org/2000/svg"/>')
+    # pad short option lists instead of IndexError-ing on the later cells
+    # (RDKit's MolsToGridImage validates lengths up front)
+    if legends is not None and len(legends) < len(mols):
+        legends = list(legends) + [''] * (len(mols) - len(legends))
+    if highlight_atom_lists is not None and \
+            len(highlight_atom_lists) < len(mols):
+        highlight_atom_lists = (list(highlight_atom_lists)
+                                + [None] * (len(mols)
+                                            - len(highlight_atom_lists)))
     w, h = sub_img_size
     cols = max(1, min(mols_per_row, len(mols)))
     rows = (len(mols) + cols - 1) // cols

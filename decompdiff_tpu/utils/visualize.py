@@ -9,9 +9,10 @@ sampling result dicts — in addition to RDKit mols / raw format blocks.
 3D viewers use real py3Dmol when installed (live notebook WebGL widgets);
 without it they run on the first-party recorder (utils/viewer3d.py) and
 return views with `.write_html(path)` / `._repr_html_()` producing
-standalone 3Dmol.js HTML. Only the RDKit 2D grid depictions
-(`draw_mol_grid`, `visualize_mol_highlight_fragments`,
-`vis_decomp_from_meta`) still require RDKit — they rasterize images.
+standalone 3Dmol.js HTML. The 2D grid depictions (`draw_mol_grid`,
+`visualize_mol_highlight_fragments`, `vis_decomp_from_meta`) route
+MolRecords through the first-party SVG renderer (utils/draw2d.py) when
+RDKit is absent; RDKit mols still rasterize through MolsToGridImage.
 `mol_record_to_xyz` / `atoms_to_xyz_block` work everywhere.
 """
 

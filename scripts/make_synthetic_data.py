@@ -29,8 +29,9 @@ def geometry_correlated_types(ligand_pos, protein_pos, n_ligand):
         ligand_pos[:, None] - protein_pos[None], axis=-1).min(1)
     types = np.full(n_ligand, 6, np.int64)
     interior = np.arange(1, n_ligand - 1)
-    near = d_prot[interior] < np.median(d_prot[interior])
-    types[interior[near]] = 7
+    if interior.size:  # n_ligand <= 2 has no interior (median([]) is NaN)
+        near = d_prot[interior] < np.median(d_prot[interior])
+        types[interior[near]] = 7
     types[0] = types[n_ligand - 1] = 8
     return types
 

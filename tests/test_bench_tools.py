@@ -5,6 +5,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -61,6 +62,34 @@ def test_curve_aggregate_and_bootstrap():
     assert np.isfinite(lo) and np.isfinite(hi)
     lo_c, hi_c = cis['complete_rate']
     assert lo_c <= point['complete_rate'] <= hi_c
+
+
+def test_fast_bootstrap_matches_aggregate():
+    """The binned-matrix per-round metrics must equal aggregate() on the
+    same resample — the bootstrap's O(n_mols) row-sum path is only valid
+    because get_distribution's histograms are additive counts."""
+    from collections import Counter
+
+    from strided_curve import _binned_matrices, _round_metrics, aggregate
+
+    rng = np.random.default_rng(3)
+    mols = _fake_mols(12, 32, seed=3)
+    # exercise the untracked-element total accounting (5 = boron is not in
+    # ATOM_TYPE_DISTRIBUTION but inflates the normalizing total) and a
+    # complete molecule with no (6,6,1) bond samples
+    mols[0]['atoms'] = Counter({6: 4, 5: 3})
+    mols[1]['bond'] = [((6, 7, 1), 1.4), ((7, 6, 2), 1.3)]
+    M = _binned_matrices(mols)
+    for trial in range(5):
+        idx = rng.integers(0, len(mols), size=len(mols))
+        fast = _round_metrics(M, idx)
+        slow = aggregate([mols[i] for i in idx])
+        for k, v in slow.items():
+            fv = fast[k]
+            if v is None or not np.isfinite(v):
+                assert fv is None or not np.isfinite(fv), (k, v, fv)
+            else:
+                assert fv == pytest.approx(v, rel=1e-12, abs=1e-12), (k, v, fv)
 
 
 def test_curve_bootstrap_drops_empty_resamples():
